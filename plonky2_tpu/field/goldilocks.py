@@ -1,0 +1,400 @@
+"""Goldilocks field (p = 2^64 - 2^32 + 1) as vectorized 2x-uint32-limb JAX ops.
+
+TPU has no native 64-bit integer multiplier, so a field element is stored as a
+pair of uint32 arrays (lo, hi). All arithmetic is branch-free u32 limb math
+that XLA vectorizes on the VPU; the identical formulas are reused inside
+Pallas kernels (they operate on plain uint32 arrays).
+
+Every stored element is kept fully canonical (< p). This removes all
+canonicalization hazards for Fiat-Shamir transcript parity with the reference
+(reference: field/src/goldilocks_field.rs — reduce128 at :406-462, branchy
+add/sub with EPSILON correction at :81-160).
+
+The functional layer (`add`, `mul`, ... on raw (lo, hi) pairs) is the kernel
+building block; the `GF` pytree class wraps it with operators for readable
+prover code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import reference as ref
+
+ORDER = 0xFFFFFFFF00000001
+ORDER_LO = np.uint32(0x00000001)
+ORDER_HI = np.uint32(0xFFFFFFFF)
+EPSILON = np.uint32(0xFFFFFFFF)  # 2^64 mod p (fits in u32)
+
+u32 = jnp.uint32
+_1 = np.uint32(1)
+_0 = np.uint32(0)
+
+
+# ---------------------------------------------------------------------------
+# u32 limb primitives
+# ---------------------------------------------------------------------------
+
+def _mul32(x, y):
+    """Full 32x32 -> 64-bit product as (hi, lo) uint32, via 16-bit halves."""
+    x0 = x & 0xFFFF
+    x1 = x >> 16
+    y0 = y & 0xFFFF
+    y1 = y >> 16
+    p00 = x0 * y0
+    p01 = x0 * y1
+    p10 = x1 * y0
+    p11 = x1 * y1
+    mid = (p00 >> 16) + (p01 & 0xFFFF) + (p10 & 0xFFFF)  # < 2^18
+    lo = (p00 & 0xFFFF) | (mid << 16)
+    hi = p11 + (p01 >> 16) + (p10 >> 16) + (mid >> 16)
+    return hi, lo
+
+
+def _add64(ah, al, bh, bl):
+    """64-bit add with carry-out: returns (hi, lo, carry)."""
+    lo = al + bl
+    c = (lo < al).astype(u32)
+    t = ah + bh
+    c1 = (t < ah).astype(u32)
+    hi = t + c
+    c2 = (hi < t).astype(u32)
+    return hi, lo, c1 + c2
+
+
+def _sub64(ah, al, bh, bl):
+    """64-bit subtract with borrow-out: returns (hi, lo, borrow)."""
+    lo = al - bl
+    b0 = (al < bl).astype(u32)
+    t = ah - bh
+    b1 = (ah < bh).astype(u32)
+    hi = t - b0
+    b2 = (t < b0).astype(u32)
+    return hi, lo, b1 + b2
+
+
+def _ge64(ah, al, bh, bl):
+    return (ah > bh) | ((ah == bh) & (al >= bl))
+
+
+def _mul64_full(alo, ahi, blo, bhi):
+    """64x64 -> 128-bit product as four uint32 words (w3, w2, w1, w0)."""
+    hh_h, hh_l = _mul32(ahi, bhi)
+    hl_h, hl_l = _mul32(ahi, blo)
+    lh_h, lh_l = _mul32(alo, bhi)
+    ll_h, ll_l = _mul32(alo, blo)
+    w0 = ll_l
+    s1 = ll_h + hl_l
+    c1 = (s1 < ll_h).astype(u32)
+    w1 = s1 + lh_l
+    c2 = (w1 < s1).astype(u32)
+    s2 = hl_h + lh_h
+    c3 = (s2 < hl_h).astype(u32)
+    s2b = s2 + hh_l
+    c4 = (s2b < s2).astype(u32)
+    w2 = s2b + c1 + c2
+    c5 = (w2 < s2b).astype(u32)
+    w3 = hh_h + c3 + c4 + c5
+    return w3, w2, w1, w0
+
+
+def _reduce128(w3, w2, w1, w0):
+    """Reduce a 128-bit value mod p to a canonical (lo, hi) pair.
+
+    Uses 2^64 = EPSILON and 2^96 = -1 (mod p), i.e.
+    x = w3*2^96 + w2*2^64 + lo64  ===  lo64 - w3 + w2*EPSILON (mod p).
+    Same algorithm as the reference reduce128.
+    """
+    # t0 = lo64 - w3 (64-bit); on borrow subtract EPSILON (wrapping).
+    b0 = (w0 < w3).astype(u32)
+    t0_l = w0 - w3
+    t0_h = w1 - b0
+    borrow = (w1 < b0)  # borrow out of the 64-bit subtract (w1==0 and w0<w3)
+    # subtracting EPSILON = 2^32-1: new_l = l+1; borrow from hi iff new_l != 0
+    adj_l = t0_l + _1
+    adj_h = t0_h - (adj_l != 0).astype(u32)
+    t0_l = jnp.where(borrow, adj_l, t0_l)
+    t0_h = jnp.where(borrow, adj_h, t0_h)
+    # t1 = w2 * EPSILON = (w2<<32) - w2
+    nz = (w2 != 0).astype(u32)
+    t1_h = w2 - nz
+    t1_l = _0 - w2
+    # res = t0 + t1; on carry add EPSILON (cannot carry twice)
+    rh, rl, carry = _add64(t0_h, t0_l, t1_h, t1_l)
+    rl2 = rl + EPSILON
+    rh2 = rh + (rl2 < rl).astype(u32)
+    rl = jnp.where(carry > 0, rl2, rl)
+    rh = jnp.where(carry > 0, rh2, rh)
+    return _canonicalize(rl, rh)
+
+
+def _canonicalize(lo, hi):
+    """Conditionally subtract p once: input < 2^64, output < p."""
+    ge = _ge64(hi, lo, ORDER_HI, ORDER_LO)
+    sh, sl, _ = _sub64(hi, lo, ORDER_HI, ORDER_LO)
+    return jnp.where(ge, sl, lo), jnp.where(ge, sh, hi)
+
+
+# ---------------------------------------------------------------------------
+# Field ops on raw (lo, hi) uint32 pairs — canonical in, canonical out
+# ---------------------------------------------------------------------------
+
+def add(alo, ahi, blo, bhi):
+    sh, sl, carry = _add64(ahi, alo, bhi, blo)
+    # carry: sum wrapped past 2^64, add EPSILON (result provably < p)
+    wl = sl + EPSILON
+    wh = sh + (wl < sl).astype(u32)
+    sl = jnp.where(carry > 0, wl, sl)
+    sh = jnp.where(carry > 0, wh, sh)
+    return _canonicalize(sl, sh)
+
+
+def sub(alo, ahi, blo, bhi):
+    dh, dl, borrow = _sub64(ahi, alo, bhi, blo)
+    # borrow: result wrapped below 0; true value is d - 2^64 + p = d - EPSILON
+    wl = dl + _1  # subtracting EPSILON = 2^32-1
+    wh = dh - (wl != 0).astype(u32)
+    dl = jnp.where(borrow > 0, wl, dl)
+    dh = jnp.where(borrow > 0, wh, dh)
+    return dl, dh
+
+
+def neg(alo, ahi):
+    zl, zh = jnp.zeros_like(alo), jnp.zeros_like(ahi)
+    return sub(zl, zh, alo, ahi)
+
+
+def mul(alo, ahi, blo, bhi):
+    return _reduce128(*_mul64_full(alo, ahi, blo, bhi))
+
+
+def square(alo, ahi):
+    return mul(alo, ahi, alo, ahi)
+
+
+def mul_small(c: int, alo, ahi):
+    """Multiply by a small (< 2^32) compile-time constant, cheaper than mul."""
+    c = np.uint32(c)
+    ll_h, ll_l = _mul32(jnp.full_like(alo, c), alo)
+    hl_h, hl_l = _mul32(jnp.full_like(ahi, c), ahi)
+    w0 = ll_l
+    w1 = ll_h + hl_l
+    c1 = (w1 < ll_h).astype(u32)
+    w2 = hl_h + c1
+    return _reduce96(w2, w1, w0)
+
+
+def _reduce96(w2, w1, w0):
+    """Reduce w2*2^64 + (w1,w0) mod p: add w2*EPSILON to the low 64 bits."""
+    nz = (w2 != 0).astype(u32)
+    t1_h = w2 - nz
+    t1_l = _0 - w2
+    rh, rl, carry = _add64(w1, w0, t1_h, t1_l)
+    wl = rl + EPSILON
+    wh = rh + (wl < rl).astype(u32)
+    rl = jnp.where(carry > 0, wl, rl)
+    rh = jnp.where(carry > 0, wh, rh)
+    return _canonicalize(rl, rh)
+
+
+def exp_u64(alo, ahi, e: int):
+    """Raise to a compile-time-constant power by square-and-multiply."""
+    rl = jnp.full_like(alo, _1)
+    rh = jnp.zeros_like(ahi)
+    bl, bh = alo, ahi
+    while e:
+        if e & 1:
+            rl, rh = mul(rl, rh, bl, bh)
+        e >>= 1
+        if e:
+            bl, bh = square(bl, bh)
+    return rl, rh
+
+
+def inverse(alo, ahi):
+    """Fermat inversion a^(p-2); fully parallel (no Montgomery scan needed)."""
+    return exp_u64(alo, ahi, ORDER - 2)
+
+
+# ---------------------------------------------------------------------------
+# GF: pytree wrapper with operators
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class GF:
+    """An array of Goldilocks field elements as two uint32 limb arrays."""
+
+    lo: jax.Array
+    hi: jax.Array
+
+    def tree_flatten(self):
+        return (self.lo, self.hi), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- constructors -------------------------------------------------------
+    @staticmethod
+    def from_u64(x) -> "GF":
+        """From numpy uint64 / python ints (host-side). Values reduced mod p."""
+        arr = np.asarray(x, dtype=np.object_) if isinstance(x, (list, tuple)) \
+            else np.asarray(x)
+        if arr.dtype == np.object_:
+            arr = np.vectorize(lambda v: int(v) % ORDER, otypes=[np.uint64])(arr)
+        else:
+            arr = arr.astype(np.uint64)
+            arr = np.where(arr >= np.uint64(ORDER), arr - np.uint64(ORDER), arr)
+        lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (arr >> np.uint64(32)).astype(np.uint32)
+        return GF(jnp.asarray(lo), jnp.asarray(hi))
+
+    @staticmethod
+    def zeros(shape) -> "GF":
+        return GF(jnp.zeros(shape, u32), jnp.zeros(shape, u32))
+
+    @staticmethod
+    def ones(shape) -> "GF":
+        return GF(jnp.ones(shape, u32), jnp.zeros(shape, u32))
+
+    @staticmethod
+    def const(value: int, shape=()) -> "GF":
+        value %= ORDER
+        return GF(jnp.full(shape, np.uint32(value & 0xFFFFFFFF), u32),
+                  jnp.full(shape, np.uint32(value >> 32), u32))
+
+    def to_u64(self) -> np.ndarray:
+        """Host-side read-back as numpy uint64."""
+        lo = np.asarray(jax.device_get(self.lo)).astype(np.uint64)
+        hi = np.asarray(jax.device_get(self.hi)).astype(np.uint64)
+        return lo | (hi << np.uint64(32))
+
+    # -- shape plumbing ------------------------------------------------------
+    @property
+    def shape(self):
+        return self.lo.shape
+
+    @property
+    def ndim(self):
+        return self.lo.ndim
+
+    def __len__(self):
+        return self.lo.shape[0]
+
+    def __getitem__(self, idx) -> "GF":
+        return GF(self.lo[idx], self.hi[idx])
+
+    def reshape(self, *shape) -> "GF":
+        return GF(self.lo.reshape(*shape), self.hi.reshape(*shape))
+
+    def transpose(self, *axes) -> "GF":
+        return GF(self.lo.transpose(*axes), self.hi.transpose(*axes))
+
+    def broadcast_to(self, shape) -> "GF":
+        return GF(jnp.broadcast_to(self.lo, shape),
+                  jnp.broadcast_to(self.hi, shape))
+
+    def take(self, indices, axis=0) -> "GF":
+        return GF(jnp.take(self.lo, indices, axis=axis),
+                  jnp.take(self.hi, indices, axis=axis))
+
+    def at_set(self, idx, value: "GF") -> "GF":
+        return GF(self.lo.at[idx].set(value.lo), self.hi.at[idx].set(value.hi))
+
+    @staticmethod
+    def concatenate(parts, axis=0) -> "GF":
+        return GF(jnp.concatenate([p.lo for p in parts], axis=axis),
+                  jnp.concatenate([p.hi for p in parts], axis=axis))
+
+    @staticmethod
+    def stack(parts, axis=0) -> "GF":
+        return GF(jnp.stack([p.lo for p in parts], axis=axis),
+                  jnp.stack([p.hi for p in parts], axis=axis))
+
+    @staticmethod
+    def where(cond, a: "GF", b: "GF") -> "GF":
+        return GF(jnp.where(cond, a.lo, b.lo), jnp.where(cond, a.hi, b.hi))
+
+    # -- arithmetic ----------------------------------------------------------
+    def __add__(self, other: "GF") -> "GF":
+        return GF(*add(self.lo, self.hi, other.lo, other.hi))
+
+    def __sub__(self, other: "GF") -> "GF":
+        return GF(*sub(self.lo, self.hi, other.lo, other.hi))
+
+    def __neg__(self) -> "GF":
+        return GF(*neg(self.lo, self.hi))
+
+    def __mul__(self, other: "GF") -> "GF":
+        return GF(*mul(self.lo, self.hi, other.lo, other.hi))
+
+    def square(self) -> "GF":
+        return GF(*square(self.lo, self.hi))
+
+    def mul_small(self, c: int) -> "GF":
+        return GF(*mul_small(c, self.lo, self.hi))
+
+    def exp(self, e: int) -> "GF":
+        return GF(*exp_u64(self.lo, self.hi, e))
+
+    def inverse(self) -> "GF":
+        return GF(*inverse(self.lo, self.hi))
+
+    def double(self) -> "GF":
+        return self + self
+
+    # -- comparisons (field equality; inputs canonical) ----------------------
+    def equal(self, other: "GF"):
+        return (self.lo == other.lo) & (self.hi == other.hi)
+
+    def is_zero(self):
+        return (self.lo == 0) & (self.hi == 0)
+
+    def sum(self, axis=None) -> "GF":
+        """Tree-reduction sum along an axis (log-depth, exact)."""
+        x = self
+        if axis is None:
+            x = x.reshape(-1)
+            axis = 0
+        n = x.shape[axis]
+        # pad to a power of two with zeros
+        pow2 = 1 << (n - 1).bit_length()
+        if pow2 != n:
+            pad_shape = list(x.shape)
+            pad_shape[axis] = pow2 - n
+            x = GF.concatenate([x, GF.zeros(tuple(pad_shape))], axis=axis)
+        while x.shape[axis] > 1:
+            h = x.shape[axis] // 2
+            a = x.take(jnp.arange(h), axis=axis)
+            b = x.take(jnp.arange(h, 2 * h), axis=axis)
+            x = a + b
+        return x.take(0, axis=axis)
+
+
+def gf_powers(base: GF, n: int) -> GF:
+    """[1, b, b^2, ..., b^{n-1}] by log-doubling (device-side)."""
+    assert base.shape == ()
+    out = GF.ones((1,))
+    while out.shape[0] < n:
+        k = out.shape[0]
+        # out[k:2k] = out[0:k] * base^k
+        bk = base.exp(k)
+        out = GF.concatenate([out, out * bk.broadcast_to((k,))])
+    return out[:n]
+
+
+def random_gf(key, shape) -> GF:
+    """Uniform field elements by rejection-free reduction of 64 random bits."""
+    k1, k2 = jax.random.split(key)
+    lo = jax.random.bits(k1, shape, dtype=jnp.uint32)
+    hi = jax.random.bits(k2, shape, dtype=jnp.uint32)
+    # value mod p: at most one conditional subtract is wrong for
+    # uniformity-critical use, but fine for tests. Reduce properly:
+    # x mod p where x < 2^64: canonicalize handles [p, 2^64).
+    return GF(*_canonicalize(lo, hi))

@@ -1,0 +1,21 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests run on CPU (fast iteration, no TPU needed) with 8 virtual devices so
+multi-chip sharding paths are exercised the way the driver's dryrun does.
+Must set env vars before JAX initializes a backend.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment's axon TPU plugin sets jax_platforms via jax.config, which
+# wins over the JAX_PLATFORMS env var — force it back to CPU for tests.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
