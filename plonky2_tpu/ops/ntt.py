@@ -1,0 +1,142 @@
+"""Batched Goldilocks NTT / iNTT / coset LDE on the last axis.
+
+Semantics match the reference FFT (reference: field/src/fft.rs —
+fft_classic:202-239 radix-2 DIT after bit-reversal; ifft:101-128 = forward FFT
++ tail reversal + scale by 1/n; the r-zero-stage skip:223-229 becomes a
+broadcast/repeat; polynomial/mod.rs coset_fft = scale coeffs by shift powers).
+
+TPU-first design: polynomials are dense GF arrays [..., N]; every butterfly
+stage is one vectorized pass (XLA fuses the limb arithmetic); twiddle tables
+are computed once per size on device via log-doubling and cached (the analog
+of the reference's precomputed FftRootTable, field/src/fft.rs:16-35).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import reference as ref
+from ..field.goldilocks import GF, gf_powers
+from ..field.extension import GF2
+from ..utils.bits import log2_strict, reverse_index_bits_perm, ifft_reverse_perm
+
+MULTIPLICATIVE_GROUP_GENERATOR = 7  # default coset shift
+
+
+@lru_cache(maxsize=None)
+def _half_twiddles(lg_n: int):
+    """Powers g^0..g^{n/2-1} of the 2^lg_n-th root of unity, as host numpy
+    limb arrays (become jit-time constants)."""
+    n = 1 << lg_n
+    g = ref.primitive_root_of_unity(lg_n)
+    if lg_n <= 1:
+        tw = GF.from_u64(np.array([1], dtype=np.uint64))
+    else:
+        tw = jax.jit(lambda: gf_powers(GF.const(g), n // 2))()
+    return (np.asarray(jax.device_get(tw.lo)), np.asarray(jax.device_get(tw.hi)))
+
+
+def stage_twiddles(lg_n: int, stage: int) -> GF:
+    """Twiddles for butterfly stage `stage` (block size m = 2^{stage+1}):
+    w_m^j for j in 0..m/2. Strided view of the half table."""
+    lo, hi = _half_twiddles(lg_n)
+    stride = 1 << (lg_n - 1 - stage)
+    return GF(jnp.asarray(lo[::stride]), jnp.asarray(hi[::stride]))
+
+
+def _butterfly_stages(x: GF, lg_n: int, start_stage: int) -> GF:
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    for s in range(start_stage, lg_n):
+        m = 1 << (s + 1)
+        half = m >> 1
+        xr = x.reshape(*lead, n // m, m)
+        u = xr[..., :half]
+        v = xr[..., half:]
+        w = stage_twiddles(lg_n, s)
+        t = v * w.broadcast_to(v.shape)
+        x = GF.concatenate([u + t, u - t], axis=-1).reshape(*lead, n)
+    return x
+
+
+def fft(coeffs: GF) -> GF:
+    """values[j] = P(g^j) over the size-n two-adic subgroup; last axis."""
+    n = coeffs.shape[-1]
+    lg_n = log2_strict(n)
+    x = coeffs.take(jnp.asarray(reverse_index_bits_perm(n)), axis=-1)
+    return _butterfly_stages(x, lg_n, 0)
+
+
+def ifft(values: GF) -> GF:
+    n = values.shape[-1]
+    lg_n = log2_strict(n)
+    buf = fft(values)
+    buf = buf.take(jnp.asarray(ifft_reverse_perm(n)), axis=-1)
+    n_inv = GF.const(ref.inverse_2exp(lg_n))
+    return buf * n_inv.broadcast_to(buf.shape)
+
+
+def coset_fft(coeffs: GF, shift: int = MULTIPLICATIVE_GROUP_GENERATOR) -> GF:
+    """Evaluate on the coset shift * <g>."""
+    n = coeffs.shape[-1]
+    sp = _shift_powers(shift, n)
+    return fft(coeffs * sp.broadcast_to(coeffs.shape))
+
+
+def coset_ifft(values: GF, shift: int = MULTIPLICATIVE_GROUP_GENERATOR) -> GF:
+    n = values.shape[-1]
+    sp = _shift_powers(ref.inverse(shift), n)
+    return ifft(values) * sp.broadcast_to(values.shape)
+
+
+@lru_cache(maxsize=None)
+def _shift_powers_np(shift: int, n: int):
+    tw = jax.jit(lambda: gf_powers(GF.const(shift), n))()
+    return (np.asarray(jax.device_get(tw.lo)), np.asarray(jax.device_get(tw.hi)))
+
+
+def _shift_powers(shift: int, n: int) -> GF:
+    lo, hi = _shift_powers_np(shift, n)
+    return GF(jnp.asarray(lo), jnp.asarray(hi))
+
+
+def lde_fft(coeffs: GF, rate_bits: int,
+            shift: int | None = None) -> GF:
+    """Low-degree extension: evaluate a degree-<n poly on a (coset of a)
+    2^rate_bits-times larger subgroup, skipping the first rate_bits butterfly
+    stages (the zero-padding broadcast trick, reference fft.rs:223-229)."""
+    n_small = coeffs.shape[-1]
+    lg_small = log2_strict(n_small)
+    lg_n = lg_small + rate_bits
+    n = 1 << lg_n
+    if shift is not None:
+        sp = _shift_powers(shift, n_small)
+        coeffs = coeffs * sp.broadcast_to(coeffs.shape)
+    # bit-reverse the small array, then broadcast each entry 2^rate_bits times
+    x = coeffs.take(jnp.asarray(reverse_index_bits_perm(n_small)), axis=-1)
+    if rate_bits > 0:
+        rep = 1 << rate_bits
+        x = GF(jnp.repeat(x.lo, rep, axis=-1), jnp.repeat(x.hi, rep, axis=-1))
+    return _butterfly_stages(x, lg_n, rate_bits)
+
+
+def coset_lde(coeffs: GF, rate_bits: int,
+              shift: int = MULTIPLICATIVE_GROUP_GENERATOR) -> GF:
+    """Matches PolynomialCoeffs::lde().coset_fft(): zero-pad to 2^rate_bits * n
+    then evaluate on shift * <g_{2^{lg+r}}>. The shift powers apply to the
+    PADDED coefficient vector, so they are folded in before padding."""
+    return lde_fft(coeffs, rate_bits, shift=shift)
+
+
+# -- extension-field FFT: twiddles are base-field, so componentwise ----------
+
+def fft_ext(coeffs: GF2) -> GF2:
+    return GF2(fft(coeffs.c0), fft(coeffs.c1))
+
+
+def coset_fft_ext(coeffs: GF2, shift: int = MULTIPLICATIVE_GROUP_GENERATOR) -> GF2:
+    return GF2(coset_fft(coeffs.c0, shift), coset_fft(coeffs.c1, shift))

@@ -1,0 +1,73 @@
+"""Quadratic extension field vs oracle (reference: field/src/extension/quadratic.rs)."""
+
+import numpy as np
+
+from plonky2_tpu.field import reference as ref
+from plonky2_tpu.field.extension import (
+    GF2, EXT_POWER_OF_TWO_GENERATOR, gf2_powers,
+)
+
+RNG = np.random.default_rng(1)
+
+
+def rand_pairs(n):
+    return (RNG.integers(0, ref.ORDER, size=n, dtype=np.uint64),
+            RNG.integers(0, ref.ORDER, size=n, dtype=np.uint64))
+
+
+def test_mul_add_sub():
+    a0, a1 = rand_pairs(64)
+    b0, b1 = rand_pairs(64)
+    ga, gb = GF2.from_u64_pair(a0, a1), GF2.from_u64_pair(b0, b1)
+    for name, got, fn in [
+        ("mul", ga * gb, ref.ext2_mul),
+        ("add", ga + gb, ref.ext2_add),
+        ("sub", ga - gb, ref.ext2_sub),
+    ]:
+        g0, g1 = got.to_u64_pair()
+        for i in range(64):
+            w = fn((int(a0[i]), int(a1[i])), (int(b0[i]), int(b1[i])))
+            assert (int(g0[i]), int(g1[i])) == w, name
+
+
+def test_inverse():
+    a0, a1 = rand_pairs(16)
+    ga = GF2.from_u64_pair(a0, a1)
+    inv = ga.inverse()
+    prod = ga * inv
+    p0, p1 = prod.to_u64_pair()
+    assert (p0 == 1).all() and (p1 == 0).all()
+
+
+def test_exp_and_two_adic_generator():
+    # EXT_POWER_OF_TWO_GENERATOR has order 2^33
+    g = GF2.const(*EXT_POWER_OF_TWO_GENERATOR)
+    sq = g
+    for _ in range(33):
+        sq = sq * sq
+    s0, s1 = sq.to_u64_pair()
+    assert int(s0) == 1 and int(s1) == 0
+    half = g.exp(1 << 32)
+    h0, h1 = half.to_u64_pair()
+    assert (int(h0), int(h1)) != (1, 0)
+
+
+def test_frobenius():
+    a0, a1 = rand_pairs(8)
+    ga = GF2.from_u64_pair(a0, a1)
+    frob = ga.frobenius()
+    want = ga.exp(ref.ORDER)
+    f0, f1 = frob.to_u64_pair()
+    w0, w1 = want.to_u64_pair()
+    np.testing.assert_array_equal(f0, w0)
+    np.testing.assert_array_equal(f1, w1)
+
+
+def test_powers():
+    a0, a1 = 12345, 6789
+    p = gf2_powers(GF2.const(a0, a1), 16)
+    p0, p1 = p.to_u64_pair()
+    acc = (1, 0)
+    for i in range(16):
+        assert (int(p0[i]), int(p1[i])) == acc
+        acc = ref.ext2_mul(acc, (a0, a1))
