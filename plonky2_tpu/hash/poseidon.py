@@ -1,0 +1,237 @@
+"""Poseidon permutation over Goldilocks, width 12 — batched device kernel +
+pure-Python oracle.
+
+Implements the *naive* round schedule (full-width constant layer each round,
+single S-box in partial rounds, full MDS every round), which is bit-identical
+to the reference's optimized fast-partial-rounds path
+(reference: plonky2/src/hash/poseidon.rs:790-812 poseidon_naive, :745-765;
+MDS row r = sum_i CIRC[i]*v[(i+r)%12] + DIAG[r]*v[r], :236-246).
+
+Device layout: state is a GF array [..., 12]; the MDS layer is 12 circular
+rolls with small-constant multiplies accumulated in 96-bit (3xu32) lanes —
+exact, branch-free, and VPU-friendly.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import reference as ref
+from ..field.goldilocks import GF, _mul32, _reduce96, u32
+from .poseidon_constants import (
+    ALL_ROUND_CONSTANTS, HALF_N_FULL_ROUNDS, MDS_MATRIX_CIRC,
+    MDS_MATRIX_DIAG, N_PARTIAL_ROUNDS, N_ROUNDS, SPONGE_RATE, SPONGE_WIDTH,
+)
+
+NUM_HASH_OUT_ELTS = 4
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python oracle
+# ---------------------------------------------------------------------------
+
+def _mds_row_oracle(r: int, v: list[int]) -> int:
+    acc = 0
+    for i in range(SPONGE_WIDTH):
+        acc += MDS_MATRIX_CIRC[i] * v[(i + r) % SPONGE_WIDTH]
+    acc += MDS_MATRIX_DIAG[r] * v[r]
+    return acc % ref.ORDER
+
+
+def _mds_oracle(v: list[int]) -> list[int]:
+    return [_mds_row_oracle(r, v) for r in range(SPONGE_WIDTH)]
+
+
+def _sbox(x: int) -> int:
+    x2 = (x * x) % ref.ORDER
+    x3 = (x2 * x) % ref.ORDER
+    return (x3 * x3 % ref.ORDER) * x % ref.ORDER
+
+
+def poseidon_oracle(state: list[int]) -> list[int]:
+    """The width-12 Poseidon permutation on python ints."""
+    assert len(state) == SPONGE_WIDTH
+    s = [x % ref.ORDER for x in state]
+    rc = 0
+    for _ in range(HALF_N_FULL_ROUNDS):
+        s = [(x + ALL_ROUND_CONSTANTS[rc * SPONGE_WIDTH + i]) % ref.ORDER
+             for i, x in enumerate(s)]
+        s = [_sbox(x) for x in s]
+        s = _mds_oracle(s)
+        rc += 1
+    for _ in range(N_PARTIAL_ROUNDS):
+        s = [(x + ALL_ROUND_CONSTANTS[rc * SPONGE_WIDTH + i]) % ref.ORDER
+             for i, x in enumerate(s)]
+        s[0] = _sbox(s[0])
+        s = _mds_oracle(s)
+        rc += 1
+    for _ in range(HALF_N_FULL_ROUNDS):
+        s = [(x + ALL_ROUND_CONSTANTS[rc * SPONGE_WIDTH + i]) % ref.ORDER
+             for i, x in enumerate(s)]
+        s = [_sbox(x) for x in s]
+        s = _mds_oracle(s)
+        rc += 1
+    assert rc == N_ROUNDS
+    return s
+
+
+def hash_n_to_m_no_pad_oracle(inputs: list[int], num_outputs: int) -> list[int]:
+    """Overwrite-mode sponge (reference: plonky2/src/hash/hashing.rs:35-64)."""
+    state = [0] * SPONGE_WIDTH
+    for start in range(0, max(len(inputs), 1) if inputs else 0, SPONGE_RATE):
+        chunk = inputs[start:start + SPONGE_RATE]
+        state[:len(chunk)] = [x % ref.ORDER for x in chunk]
+        state = poseidon_oracle(state)
+    outputs: list[int] = []
+    while True:
+        for x in state[:SPONGE_RATE]:
+            outputs.append(x)
+            if len(outputs) == num_outputs:
+                return outputs
+        state = poseidon_oracle(state)
+
+
+def hash_no_pad_oracle(inputs: list[int]) -> list[int]:
+    return hash_n_to_m_no_pad_oracle(inputs, NUM_HASH_OUT_ELTS)
+
+
+def hash_or_noop_oracle(inputs: list[int]) -> list[int]:
+    if len(inputs) <= NUM_HASH_OUT_ELTS:
+        return [x % ref.ORDER for x in inputs] + [0] * (NUM_HASH_OUT_ELTS - len(inputs))
+    return hash_no_pad_oracle(inputs)
+
+
+def compress_oracle(x: list[int], y: list[int]) -> list[int]:
+    state = list(x) + list(y) + [0] * (SPONGE_WIDTH - 2 * NUM_HASH_OUT_ELTS)
+    return poseidon_oracle(state)[:NUM_HASH_OUT_ELTS]
+
+
+def hash_public_inputs_oracle(inputs: list[int]) -> list[int]:
+    """Public-input hash always hashes, even for <=4 inputs
+    (reference: plonky2/src/hash/poseidon.rs:895 hash_public_inputs)."""
+    return hash_no_pad_oracle(inputs)
+
+
+# ---------------------------------------------------------------------------
+# Device kernel: batched over leading dims, state axis is last (size 12)
+# ---------------------------------------------------------------------------
+
+_RC_LIMBS = None
+
+
+def _round_constants() -> GF:
+    global _RC_LIMBS
+    if _RC_LIMBS is None:
+        arr = np.array(ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(
+            N_ROUNDS, SPONGE_WIDTH)
+        _RC_LIMBS = ((arr & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                     (arr >> np.uint64(32)).astype(np.uint32))
+    lo, hi = _RC_LIMBS
+    return GF(jnp.asarray(lo), jnp.asarray(hi))
+
+
+def _mul_small_96(c: int, lo, hi):
+    """c * (hi,lo) as a 96-bit (w2, w1, w0) triple, c < 2^32 constant."""
+    c = np.uint32(c)
+    ll_h, ll_l = _mul32(c, lo)
+    hl_h, hl_l = _mul32(c, hi)
+    w0 = ll_l
+    w1 = ll_h + hl_l
+    c1 = (w1 < ll_h).astype(u32)
+    w2 = hl_h + c1
+    return w2, w1, w0
+
+
+def _acc96(a, b):
+    a2, a1, a0 = a
+    b2, b1, b0 = b
+    w0 = a0 + b0
+    c0 = (w0 < a0).astype(u32)
+    t1 = a1 + b1
+    c1 = (t1 < a1).astype(u32)
+    w1 = t1 + c0
+    c2 = (w1 < t1).astype(u32)
+    w2 = a2 + b2 + c1 + c2
+    return w2, w1, w0
+
+
+def _mds_layer(state: GF) -> GF:
+    """out[..., r] = sum_i CIRC[i]*state[..., (r+i)%12] + DIAG[r]*state[..., r]."""
+    acc = None
+    for i in range(SPONGE_WIDTH):
+        rolled_lo = jnp.roll(state.lo, -i, axis=-1)
+        rolled_hi = jnp.roll(state.hi, -i, axis=-1)
+        term = _mul_small_96(MDS_MATRIX_CIRC[i], rolled_lo, rolled_hi)
+        acc = term if acc is None else _acc96(acc, term)
+    # DIAG = [8, 0, ..., 0]: only output row 0 gets 8 * state[..., 0]
+    d2, d1, d0 = _mul_small_96(MDS_MATRIX_DIAG[0], state.lo[..., 0:1],
+                               state.hi[..., 0:1])
+    zeros = jnp.zeros_like(state.lo[..., 1:])
+    pad = lambda x: jnp.concatenate([x, zeros], axis=-1)
+    acc = _acc96(acc, (pad(d2), pad(d1), pad(d0)))
+    return GF(*_reduce96(*acc))
+
+
+def _sbox_gf(x: GF) -> GF:
+    x2 = x.square()
+    x3 = x2 * x
+    return x3 * x3 * x
+
+
+def poseidon_permute(state: GF) -> GF:
+    """Batched Poseidon permutation; state shape [..., 12]."""
+    assert state.shape[-1] == SPONGE_WIDTH
+    rc = _round_constants()
+    r = 0
+    for _ in range(HALF_N_FULL_ROUNDS):
+        state = state + rc[r].broadcast_to(state.shape)
+        state = _sbox_gf(state)
+        state = _mds_layer(state)
+        r += 1
+    for _ in range(N_PARTIAL_ROUNDS):
+        state = state + rc[r].broadcast_to(state.shape)
+        s0 = _sbox_gf(state[..., 0:1])
+        state = GF.concatenate([s0, state[..., 1:]], axis=-1)
+        state = _mds_layer(state)
+        r += 1
+    for _ in range(HALF_N_FULL_ROUNDS):
+        state = state + rc[r].broadcast_to(state.shape)
+        state = _sbox_gf(state)
+        state = _mds_layer(state)
+        r += 1
+    return state
+
+
+def hash_no_pad(inputs: GF) -> GF:
+    """Batched hash_n_to_hash_no_pad: inputs [..., L] -> digests [..., 4]."""
+    L = inputs.shape[-1]
+    lead = inputs.shape[:-1]
+    state = GF.zeros((*lead, SPONGE_WIDTH))
+    for start in range(0, L, SPONGE_RATE):
+        chunk = inputs[..., start:start + SPONGE_RATE]
+        k = chunk.shape[-1]
+        state = GF.concatenate([chunk, state[..., k:]], axis=-1)
+        state = poseidon_permute(state)
+    return state[..., :NUM_HASH_OUT_ELTS]
+
+
+def hash_or_noop(inputs: GF) -> GF:
+    """Batched hash_or_noop: [..., L] -> [..., 4]; L static per call."""
+    L = inputs.shape[-1]
+    if L <= NUM_HASH_OUT_ELTS:
+        lead = inputs.shape[:-1]
+        pad = GF.zeros((*lead, NUM_HASH_OUT_ELTS - L))
+        return GF.concatenate([inputs, pad], axis=-1)
+    return hash_no_pad(inputs)
+
+
+def compress(x: GF, y: GF) -> GF:
+    """Batched two-to-one compression: [..., 4] x [..., 4] -> [..., 4]."""
+    lead = x.shape[:-1]
+    cap = GF.zeros((*lead, SPONGE_WIDTH - 2 * NUM_HASH_OUT_ELTS))
+    state = GF.concatenate([x, y, cap], axis=-1)
+    return poseidon_permute(state)[..., :NUM_HASH_OUT_ELTS]
