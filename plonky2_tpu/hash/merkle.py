@@ -1,0 +1,116 @@
+"""Merkle tree with cap — TPU-native layered construction.
+
+Equivalent surface to the reference MerkleTree/MerkleCap/MerkleProof
+(reference: plonky2/src/hash/merkle_tree.rs:54-100, :809 prove;
+merkle_proofs.rs:19-80). The reference builds subtree-contiguous digest
+buffers recursively with rayon; on TPU the whole tree is log2(n) batched
+hash calls (leaf layer = one batched hash_or_noop over [n, leaf_size];
+each reduction = one batched compress over [m, 4] pairs), jitted as a single
+program. The cap at height h is the layer with 2^h nodes (h-th from root).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field.goldilocks import GF
+from ..utils.bits import log2_strict
+from . import poseidon as ps
+
+
+@lru_cache(maxsize=None)
+def _build_fn(lg_n: int, leaf_size: int, cap_height: int):
+    """Jitted tree builder for a static shape: leaves [2^lg_n, leaf_size] ->
+    tuple of digest layers (leaf-hash layer first, cap layer last)."""
+
+    def build(leaves: GF):
+        layers = []
+        layer = ps.hash_or_noop(leaves)  # [n, 4]
+        layers.append(layer)
+        for _ in range(lg_n - cap_height):
+            m = layer.shape[0] // 2
+            left = layer.reshape(m, 2, 4)[:, 0]
+            right = layer.reshape(m, 2, 4)[:, 1]
+            layer = ps.compress(left, right)
+            layers.append(layer)
+        return tuple(layers)
+
+    return jax.jit(build)
+
+
+class MerkleTree:
+    """leaves: GF [n, leaf_size]; digests kept layer-per-array on device."""
+
+    def __init__(self, leaves: GF, cap_height: int = 0):
+        n, leaf_size = leaves.shape
+        self.lg_n = log2_strict(n)
+        assert cap_height <= self.lg_n
+        self.cap_height = cap_height
+        self.leaves = leaves
+        self.layers = _build_fn(self.lg_n, leaf_size, cap_height)(leaves)
+
+    @property
+    def cap(self) -> GF:
+        """GF [2^cap_height, 4]."""
+        return self.layers[-1]
+
+    def cap_u64(self) -> np.ndarray:
+        return self.cap.to_u64()
+
+    def _layers_host(self):
+        if not hasattr(self, "_layers_np"):
+            self._layers_np = [l.to_u64() for l in self.layers]
+        return self._layers_np
+
+    def prove(self, leaf_index: int) -> np.ndarray:
+        """Merkle path to the cap: uint64 [lg_n - cap_height, 4] of sibling
+        digests, leaf level first."""
+        layers = self._layers_host()
+        sibs = []
+        idx = leaf_index
+        for level in range(self.lg_n - self.cap_height):
+            sibs.append(layers[level][idx ^ 1])
+            idx >>= 1
+        if not sibs:
+            return np.zeros((0, 4), dtype=np.uint64)
+        return np.stack(sibs)
+
+    def prove_batch(self, leaf_indices) -> np.ndarray:
+        """uint64 [k, lg_n - cap_height, 4] for many indices at once."""
+        return np.stack([self.prove(int(i)) for i in leaf_indices])
+
+
+# ---------------------------------------------------------------------------
+# Oracle (python ints) — verification side & tests
+# ---------------------------------------------------------------------------
+
+def merkle_root_oracle(leaves: list[list[int]], cap_height: int = 0):
+    """Returns (cap, all_layers) with python ints."""
+    n = len(leaves)
+    lg_n = log2_strict(n)
+    layer = [ps.hash_or_noop_oracle(l) for l in leaves]
+    layers = [layer]
+    for _ in range(lg_n - cap_height):
+        layer = [ps.compress_oracle(layer[2 * i], layer[2 * i + 1])
+                 for i in range(len(layer) // 2)]
+        layers.append(layer)
+    return layer, layers
+
+
+def verify_merkle_proof_oracle(leaf: list[int], leaf_index: int,
+                               cap: list[list[int]],
+                               proof: list[list[int]]) -> bool:
+    """Matches verify_merkle_proof_to_cap (reference: merkle_proofs.rs:42-80)."""
+    digest = ps.hash_or_noop_oracle(leaf)
+    idx = leaf_index
+    for sibling in proof:
+        if idx & 1:
+            digest = ps.compress_oracle(sibling, digest)
+        else:
+            digest = ps.compress_oracle(digest, sibling)
+        idx >>= 1
+    return digest == list(cap[idx])
