@@ -1,0 +1,193 @@
+"""FRI prover: commit/fold phase, vectorized PoW grind, query phase.
+
+Matches the reference protocol exactly (reference: plonky2/src/fri/prover.rs —
+fri_committed_trees:70-114 bit-reverse + arity-chunk + Merkle + beta-fold +
+coset_fft at shift^arity; fri_proof_of_work:117-161; query rounds:164-218).
+
+TPU-native choices: the fold + re-evaluation per layer is device compute;
+the PoW grind is a vectorized batched Poseidon search (the analog of the
+reference's rayon find_any — any valid witness verifies); query rounds are
+host-side gathers from cached leaf copies.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import reference as ref
+from ..field.goldilocks import GF
+from ..field.extension import GF2
+from ..hash.merkle import MerkleTree
+from ..hash import poseidon as ps
+from ..iop.challenger import Challenger
+from ..ops import ntt
+from ..ops.polynomial import horner_fold
+from ..utils.bits import log2_strict, reverse_index_bits_perm
+from .config import FriParams
+from .proof import FriProof, FriQueryRound, FriQueryStep, FriInitialTreeProof
+
+
+def _flatten_ext_leaves(values_brv: GF2, arity: int) -> GF:
+    """[N] bit-reversed ext values -> [N/arity, 2*arity] leaves with each
+    extension element flattened as (c0, c1) pairs (reference flatten())."""
+    n = values_brv.shape[-1]
+    rows = n // arity
+    c0 = values_brv.c0.reshape(rows, arity)
+    c1 = values_brv.c1.reshape(rows, arity)
+    lo = jnp.stack([c0.lo, c1.lo], axis=-1).reshape(rows, 2 * arity)
+    hi = jnp.stack([c0.hi, c1.hi], axis=-1).reshape(rows, 2 * arity)
+    return GF(lo, hi)
+
+
+@lru_cache(maxsize=None)
+def _fold_layer_fn(n: int, arity_bits: int, shift: int):
+    """Jitted: (coeffs [n], beta) -> (folded coeffs [n/arity], values [n/arity])."""
+
+    def fold(coeffs: GF2, beta: GF2):
+        folded = horner_fold(coeffs, beta, arity_bits)
+        values = GF2(ntt.coset_fft(folded.c0, shift),
+                     ntt.coset_fft(folded.c1, shift))
+        return folded, values
+
+    return jax.jit(fold)
+
+
+def fri_committed_trees(coeffs: GF2, values: GF2, challenger: Challenger,
+                        fri_params: FriParams):
+    trees = []
+    shift = ref.MULTIPLICATIVE_GROUP_GENERATOR
+    cap_height = fri_params.config.cap_height
+    for arity_bits in fri_params.reduction_arity_bits:
+        arity = 1 << arity_bits
+        n = values.shape[-1]
+        brv = values.take(jnp.asarray(reverse_index_bits_perm(n)), axis=-1)
+        leaves = _flatten_ext_leaves(brv, arity)
+        tree = MerkleTree(leaves, cap_height)
+        challenger.observe_cap(tree.cap_u64())
+        trees.append(tree)
+
+        beta = challenger.get_extension_challenge()
+        shift_next = pow(shift, arity, ref.ORDER)
+        coeffs, values = _fold_layer_fn(n, arity_bits, shift_next)(
+            coeffs, GF2.const(*beta))
+        shift = shift_next
+
+    final_len = coeffs.shape[-1] >> fri_params.config.rate_bits
+    final0, final1 = coeffs[:final_len].to_u64_pair()
+    final_coeffs = [(int(a), int(b)) for a, b in zip(final0, final1)]
+    challenger.observe_extension_elements(final_coeffs)
+    return trees, final_coeffs
+
+
+# ---------------------------------------------------------------------------
+# Proof of work
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _pow_wave_fn(witness_pos: int, pow_bits: int, batch: int):
+    assert 1 <= pow_bits < 64
+    threshold = 1 << (64 - pow_bits)
+    thresh_hi = np.uint32(threshold >> 32)
+    thresh_lo = np.uint32(threshold & 0xFFFFFFFF)
+
+    def wave(state: GF, cand_lo, cand_hi):
+        # state [12] -> broadcast [batch, 12], overwrite witness position
+        st = state.reshape(1, 12).broadcast_to((batch, 12))
+        lo = st.lo.at[:, witness_pos].set(cand_lo)
+        hi = st.hi.at[:, witness_pos].set(cand_hi)
+        out = ps.poseidon_permute(GF(lo, hi))
+        r_lo, r_hi = out.lo[:, ps.SPONGE_RATE - 1], out.hi[:, ps.SPONGE_RATE - 1]
+        ok = (r_hi < thresh_hi) | ((r_hi == thresh_hi) & (r_lo < thresh_lo))
+        idx = jnp.argmax(ok)
+        return idx, ok[idx]
+
+    return jax.jit(wave)
+
+
+def fri_proof_of_work(challenger: Challenger, pow_bits: int,
+                      batch: int | None = None) -> int:
+    """Vectorized grind: find witness w such that the duplex response (the
+    last squeezed element) has >= pow_bits leading zeros."""
+    if batch is None:
+        # ~8x the expected number of tries per wave (>=99.97% one-wave hit)
+        batch = max(256, min(1 << 19, 8 << pow_bits))
+    state = list(challenger.sponge_state)
+    witness_pos = len(challenger.input_buffer)
+    for i, x in enumerate(challenger.input_buffer):
+        state[i] = x
+    gf_state = GF.from_u64(np.array(state, dtype=np.uint64))
+    wave_fn = _pow_wave_fn(witness_pos, pow_bits, batch)
+
+    start = 0
+    while True:
+        cands = start + np.arange(batch, dtype=np.uint64)
+        c = GF.from_u64(cands)
+        idx, found = wave_fn(gf_state, c.lo, c.hi)
+        if bool(found):
+            witness = start + int(idx)
+            break
+        start += batch
+        assert start < (1 << 40), "PoW grind failed (astronomically unlikely)"
+
+    challenger.observe_element(witness)
+    response = challenger.get_challenge()
+    assert response < (1 << (64 - pow_bits))
+    return witness
+
+
+# ---------------------------------------------------------------------------
+# Query phase (host gathers)
+# ---------------------------------------------------------------------------
+
+def fri_prover_query_rounds(initial_merkle_trees, trees, challenger: Challenger,
+                            n: int, fri_params: FriParams):
+    indices = [c % n for c in
+               challenger.get_n_challenges(fri_params.config.num_query_rounds)]
+    rounds = []
+    for x_index in indices:
+        rounds.append(_query_round(initial_merkle_trees, trees, x_index,
+                                   fri_params))
+    return rounds, indices
+
+
+def _query_round(initial_merkle_trees, trees, x_index: int,
+                 fri_params: FriParams) -> FriQueryRound:
+    initial = [(t.leaves_host()[x_index], t.prove(x_index))
+               for t in initial_merkle_trees]
+    steps = []
+    for i, tree in enumerate(trees):
+        arity_bits = fri_params.reduction_arity_bits[i]
+        row = tree.leaves_host()[x_index >> arity_bits]
+        evals = [(int(row[2 * k]), int(row[2 * k + 1]))
+                 for k in range(len(row) // 2)]
+        steps.append(FriQueryStep(evals=evals,
+                                  merkle_proof=tree.prove(x_index >> arity_bits)))
+        x_index >>= arity_bits
+    return FriQueryRound(
+        initial_trees_proof=FriInitialTreeProof(evals_proofs=initial),
+        steps=steps)
+
+
+def fri_proof(initial_merkle_trees, lde_polynomial_coeffs: GF2,
+              lde_polynomial_values: GF2, challenger: Challenger,
+              fri_params: FriParams) -> FriProof:
+    n = lde_polynomial_values.shape[-1]
+    assert lde_polynomial_coeffs.shape[-1] == n
+
+    trees, final_coeffs = fri_committed_trees(
+        lde_polynomial_coeffs, lde_polynomial_values, challenger, fri_params)
+    pow_witness = fri_proof_of_work(
+        challenger, fri_params.config.proof_of_work_bits)
+    query_rounds, _ = fri_prover_query_rounds(
+        initial_merkle_trees, trees, challenger, n, fri_params)
+
+    return FriProof(
+        commit_phase_merkle_caps=[t.cap_u64() for t in trees],
+        query_round_proofs=query_rounds,
+        final_poly=final_coeffs,
+        pow_witness=pow_witness,
+    )

@@ -22,36 +22,38 @@ from ..utils.bits import log2_strict
 from . import poseidon as ps
 
 
+def build_layers(leaves: GF, cap_height: int):
+    """Traceable tree builder: leaves [n, leaf_size] -> tuple of digest layers
+    (leaf-hash layer first, cap layer last). Composable inside larger jits."""
+    lg_n = log2_strict(leaves.shape[0])
+    layers = []
+    layer = ps.hash_or_noop(leaves)  # [n, 4]
+    layers.append(layer)
+    for _ in range(lg_n - cap_height):
+        m = layer.shape[0] // 2
+        left = layer.reshape(m, 2, 4)[:, 0]
+        right = layer.reshape(m, 2, 4)[:, 1]
+        layer = ps.compress(left, right)
+        layers.append(layer)
+    return tuple(layers)
+
+
 @lru_cache(maxsize=None)
 def _build_fn(lg_n: int, leaf_size: int, cap_height: int):
-    """Jitted tree builder for a static shape: leaves [2^lg_n, leaf_size] ->
-    tuple of digest layers (leaf-hash layer first, cap layer last)."""
-
-    def build(leaves: GF):
-        layers = []
-        layer = ps.hash_or_noop(leaves)  # [n, 4]
-        layers.append(layer)
-        for _ in range(lg_n - cap_height):
-            m = layer.shape[0] // 2
-            left = layer.reshape(m, 2, 4)[:, 0]
-            right = layer.reshape(m, 2, 4)[:, 1]
-            layer = ps.compress(left, right)
-            layers.append(layer)
-        return tuple(layers)
-
-    return jax.jit(build)
+    return jax.jit(partial(build_layers, cap_height=cap_height))
 
 
 class MerkleTree:
     """leaves: GF [n, leaf_size]; digests kept layer-per-array on device."""
 
-    def __init__(self, leaves: GF, cap_height: int = 0):
+    def __init__(self, leaves: GF, cap_height: int = 0, layers=None):
         n, leaf_size = leaves.shape
         self.lg_n = log2_strict(n)
         assert cap_height <= self.lg_n
         self.cap_height = cap_height
         self.leaves = leaves
-        self.layers = _build_fn(self.lg_n, leaf_size, cap_height)(leaves)
+        self.layers = (layers if layers is not None
+                       else _build_fn(self.lg_n, leaf_size, cap_height)(leaves))
 
     @property
     def cap(self) -> GF:
@@ -60,6 +62,11 @@ class MerkleTree:
 
     def cap_u64(self) -> np.ndarray:
         return self.cap.to_u64()
+
+    def leaves_host(self) -> np.ndarray:
+        if not hasattr(self, "_leaves_np"):
+            self._leaves_np = self.leaves.to_u64()
+        return self._leaves_np
 
     def _layers_host(self):
         if not hasattr(self, "_layers_np"):

@@ -33,10 +33,11 @@ def _half_twiddles(lg_n: int):
     limb arrays (become jit-time constants)."""
     n = 1 << lg_n
     g = ref.primitive_root_of_unity(lg_n)
-    if lg_n <= 1:
-        tw = GF.from_u64(np.array([1], dtype=np.uint64))
-    else:
-        tw = jax.jit(lambda: gf_powers(GF.const(g), n // 2))()
+    with jax.ensure_compile_time_eval():
+        if lg_n <= 1:
+            tw = GF.from_u64(np.array([1], dtype=np.uint64))
+        else:
+            tw = jax.jit(lambda: gf_powers(GF.const(g), n // 2))()
     return (np.asarray(jax.device_get(tw.lo)), np.asarray(jax.device_get(tw.hi)))
 
 
@@ -49,18 +50,44 @@ def stage_twiddles(lg_n: int, stage: int) -> GF:
 
 
 def _butterfly_stages(x: GF, lg_n: int, start_stage: int) -> GF:
+    """Radix-2 DIT butterflies (input bit-reversed, output natural order).
+
+    Uniform-stage formulation under lax.scan: every stage is the same
+    [n]-shaped program (XOR-partner gather + twiddle gather + mul/add/sub
+    select), so the compiled graph is O(1) in lg_n instead of O(lg_n) —
+    compile time stays flat from 2^6 to 2^24.
+    """
     n = x.shape[-1]
-    lead = x.shape[:-1]
-    for s in range(start_stage, lg_n):
-        m = 1 << (s + 1)
-        half = m >> 1
-        xr = x.reshape(*lead, n // m, m)
-        u = xr[..., :half]
-        v = xr[..., half:]
-        w = stage_twiddles(lg_n, s)
-        t = v * w.broadcast_to(v.shape)
-        x = GF.concatenate([u + t, u - t], axis=-1).reshape(*lead, n)
-    return x
+    if lg_n == start_stage:
+        return x
+    from .. import field  # noqa: F401  (keep import order stable)
+    half_lo, half_hi = _half_twiddles(lg_n)
+    tw_lo = jnp.asarray(half_lo)
+    tw_hi = jnp.asarray(half_hi)
+    i_arr = jnp.arange(n, dtype=jnp.uint32)
+    stages = np.arange(start_stage, lg_n, dtype=np.uint32)
+    bs = (np.uint32(1) << stages)               # butterfly distance 2^s
+    shs = (np.uint32(lg_n - 1) - stages)        # twiddle index shift
+
+    def body(carry, xs):
+        lo, hi = carry
+        b, sh = xs
+        partner = (i_arr ^ b).astype(jnp.int32)
+        p_lo = jnp.take(lo, partner, axis=-1)
+        p_hi = jnp.take(hi, partner, axis=-1)
+        tw_idx = ((i_arr & (b - 1)) << sh).astype(jnp.int32)
+        w = GF(jnp.take(tw_lo, tw_idx), jnp.take(tw_hi, tw_idx))
+        is_v = (i_arr & b) != 0                  # odd half of each block
+        xg = GF(lo, hi)
+        pg = GF(p_lo, p_hi)
+        u = GF.where(is_v, pg, xg)
+        v = GF.where(is_v, xg, pg)
+        t = w.broadcast_to(v.shape) * v
+        out = GF.where(is_v, u - t, u + t)
+        return (out.lo, out.hi), None
+
+    (lo, hi), _ = jax.lax.scan(body, (x.lo, x.hi), (bs, shs))
+    return GF(lo, hi)
 
 
 def fft(coeffs: GF) -> GF:
@@ -95,7 +122,8 @@ def coset_ifft(values: GF, shift: int = MULTIPLICATIVE_GROUP_GENERATOR) -> GF:
 
 @lru_cache(maxsize=None)
 def _shift_powers_np(shift: int, n: int):
-    tw = jax.jit(lambda: gf_powers(GF.const(shift), n))()
+    with jax.ensure_compile_time_eval():
+        tw = jax.jit(lambda: gf_powers(GF.const(shift), n))()
     return (np.asarray(jax.device_get(tw.lo)), np.asarray(jax.device_get(tw.hi)))
 
 

@@ -34,6 +34,14 @@ def reverse_index_bits_perm(n: int) -> np.ndarray:
     return rev.astype(np.int32)
 
 
+def reverse_bits(x: int, bits: int) -> int:
+    out = 0
+    for _ in range(bits):
+        out = (out << 1) | (x & 1)
+        x >>= 1
+    return out
+
+
 @lru_cache(maxsize=None)
 def ifft_reverse_perm(n: int) -> np.ndarray:
     """Indices j -> (n - j) mod n, used to turn a forward FFT into an inverse."""

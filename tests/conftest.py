@@ -19,3 +19,8 @@ import jax  # noqa: E402
 # wins over the JAX_PLATFORMS env var — force it back to CPU for tests.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# Persistent compile cache: the limb-arithmetic graphs are compile-heavy and
+# identical across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/plonky2_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
