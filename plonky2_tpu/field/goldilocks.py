@@ -217,8 +217,29 @@ def exp_u64(alo, ahi, e: int):
 
 
 def inverse(alo, ahi):
-    """Fermat inversion a^(p-2); fully parallel (no Montgomery scan needed)."""
-    return exp_u64(alo, ahi, ORDER - 2)
+    """Fermat inversion a^(p-2) by square-and-multiply under lax.scan.
+
+    The scan keeps the compiled graph O(1) in the 64 exponent bits (2 muls
+    per step instead of ~100 inlined muls), which matters because inversion
+    appears inside already-large jitted prover programs."""
+    e = ORDER - 2
+    bits = np.array([(e >> i) & 1 for i in range(e.bit_length())],
+                    dtype=np.bool_)
+    # process bits high->low: r = r^2; if bit: r *= a
+    bits = bits[::-1].copy()
+
+    def body(carry, bit):
+        rl, rh = carry
+        rl, rh = square(rl, rh)
+        ml, mh = mul(rl, rh, alo, ahi)
+        rl = jnp.where(bit, ml, rl)
+        rh = jnp.where(bit, mh, rh)
+        return (rl, rh), None
+
+    one_l = jnp.full_like(alo, _1)
+    one_h = jnp.zeros_like(ahi)
+    (rl, rh), _ = jax.lax.scan(body, (one_l, one_h), jnp.asarray(bits))
+    return rl, rh
 
 
 # ---------------------------------------------------------------------------

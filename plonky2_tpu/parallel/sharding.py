@@ -1,0 +1,79 @@
+"""Multi-chip sharding of the prover's hot pipeline.
+
+The reference's multi-GPU story is column-chunking with host copies
+(reference: fri/oracle.rs:288-301 lde_batch_multi_gpu, hash/merkle_tree.rs
+:350-438 multi-GPU Merkle). TPU-native replacement: a jax.sharding.Mesh and
+explicit PartitionSpecs — polynomial columns are data-parallel across chips
+for iNTT/LDE (zero communication), and the leaf transpose before Merkle
+hashing becomes XLA's all-to-all over ICI. The Merkle cap reduction is a
+log-depth tree with an all_gather at the cap boundary.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..field.goldilocks import GF
+from ..hash.merkle import build_layers
+from ..ops import ntt
+from ..utils.bits import reverse_index_bits_perm
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "col") -> Mesh:
+    devs = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def commit_sharded(mesh: Mesh, coeffs: GF, rate_bits: int, cap_height: int):
+    """Polynomial-batch commit with columns sharded over the mesh.
+
+    coeffs: GF [num_polys, n] with num_polys % n_devices == 0.
+    Returns (leaves GF [N, num_polys] bit-reversed-row order, layers tuple).
+    """
+    num, n = coeffs.shape
+    N = n << rate_bits
+    col_sharded = NamedSharding(mesh, P("col", None))
+    row_sharded = NamedSharding(mesh, P(None, "col"))
+    rev = jnp.asarray(reverse_index_bits_perm(N))
+
+    @partial(jax.jit,
+             in_shardings=(col_sharded, col_sharded),
+             out_shardings=None)
+    def commit(lo, hi):
+        lde = ntt.coset_lde(GF(lo, hi), rate_bits)        # [num, N] col-shard
+        leaves = lde.transpose(1, 0)                      # all-to-all via XLA
+        leaves = leaves.take(rev, axis=0)
+        layers = build_layers(leaves, cap_height)
+        return (leaves.lo, leaves.hi), tuple(
+            (l.lo, l.hi) for l in layers)
+
+    (llo, lhi), layers = commit(coeffs.lo, coeffs.hi)
+    return GF(llo, lhi), tuple(GF(lo, hi) for lo, hi in layers)
+
+
+def training_step_sharded(mesh: Mesh, wires: GF, rate_bits: int,
+                          cap_height: int):
+    """One full 'prover step' shard-mapped over the mesh: per-column iNTT
+    (data parallel), coset LDE, transpose (ICI all-to-all), Merkle layers.
+    This is the multichip compile-check entry (see __graft_entry__)."""
+    num, n = wires.shape
+    col_sharded = NamedSharding(mesh, P("col", None))
+    N = n << rate_bits
+    rev = jnp.asarray(reverse_index_bits_perm(N))
+
+    @partial(jax.jit, in_shardings=(col_sharded, col_sharded))
+    def step(lo, hi):
+        values = GF(lo, hi)
+        coeffs = ntt.ifft(values)
+        lde = ntt.coset_lde(coeffs, rate_bits)
+        leaves = lde.transpose(1, 0).take(rev, axis=0)
+        layers = build_layers(leaves, cap_height)
+        cap = layers[-1]
+        return cap.lo, cap.hi
+
+    return step(wires.lo, wires.hi)

@@ -1,0 +1,70 @@
+"""End-to-end PLONK pipeline tests (reference: plonky2/tests/fibonacci_test.rs,
+factorial_test.rs — full build -> prove -> verify cycles)."""
+
+import pytest
+
+from plonky2_tpu.field import reference as ref
+from plonky2_tpu.iop.witness import PartialWitness
+from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+from plonky2_tpu.plonk.config import CircuitConfig
+
+
+def _fibonacci_circuit(n_steps=99):
+    builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    initial_a = builder.add_virtual_target()
+    initial_b = builder.add_virtual_target()
+    prev, cur = initial_a, initial_b
+    for _ in range(n_steps):
+        prev, cur = cur, builder.add(prev, cur)
+    builder.register_public_input(initial_a)
+    builder.register_public_input(initial_b)
+    builder.register_public_input(cur)
+    return builder, initial_a, initial_b, cur
+
+
+def test_fibonacci_prove_verify():
+    builder, a, b, out = _fibonacci_circuit(99)
+    data = builder.build()
+
+    pw = PartialWitness()
+    pw.set_target(a, 0)
+    pw.set_target(b, 1)
+    proof = data.prove(pw)
+
+    fib = [0, 1]
+    for _ in range(99):
+        fib.append((fib[-1] + fib[-2]) % ref.ORDER)
+    assert proof.public_inputs == [0, 1, fib[100]]
+
+    data.verify(proof)
+
+
+def test_fibonacci_rejects_wrong_public_input():
+    builder, a, b, out = _fibonacci_circuit(99)
+    data = builder.build()
+    pw = PartialWitness()
+    pw.set_target(a, 0)
+    pw.set_target(b, 1)
+    proof = data.prove(pw)
+    proof.public_inputs[2] = (proof.public_inputs[2] + 1) % ref.ORDER
+    with pytest.raises(AssertionError):
+        data.verify(proof)
+
+
+def test_factorial_prove_verify():
+    """reference: plonky2/tests/factorial_test.rs."""
+    builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    initial = builder.add_virtual_target()
+    cur = initial
+    for i in range(2, 20):
+        cur = builder.mul_const(i, cur)
+    builder.register_public_input(initial)
+    builder.register_public_input(cur)
+    data = builder.build()
+
+    pw = PartialWitness()
+    pw.set_target(initial, 1)
+    proof = data.prove(pw)
+    import math
+    assert proof.public_inputs == [1, math.factorial(19) % ref.ORDER]
+    data.verify(proof)
