@@ -126,15 +126,43 @@ class GF2:
         return GF2(self.c0 * ninv, -(self.c1 * ninv))
 
     def exp(self, e: int) -> "GF2":
-        result = GF2.ones(self.shape)
-        base = self
-        while e:
-            if e & 1:
-                result = result * base
-            e >>= 1
-            if e:
-                base = base * base
-        return result
+        """Compile-time-constant power. Small exponents inline; larger ones
+        run square-and-multiply under lax.scan (inlined scalar multiply
+        chains trigger pathological XLA:CPU compiles)."""
+        if e == 0:
+            return GF2.ones(self.shape)
+        if e.bit_length() <= 3:
+            result = GF2.ones(self.shape)
+            base = self
+            while e:
+                if e & 1:
+                    result = result * base
+                e >>= 1
+                if e:
+                    base = base * base
+            return result
+
+        import jax
+        import jax.numpy as jnp
+
+        bits = np.array([(e >> i) & 1 for i in range(e.bit_length())],
+                        dtype=np.bool_)[::-1].copy()
+
+        def body(carry, bit):
+            r = GF2(GF(carry[0], carry[1]), GF(carry[2], carry[3]))
+            r = r * r
+            m = r * self
+            rl0 = jnp.where(bit, m.c0.lo, r.c0.lo)
+            rh0 = jnp.where(bit, m.c0.hi, r.c0.hi)
+            rl1 = jnp.where(bit, m.c1.lo, r.c1.lo)
+            rh1 = jnp.where(bit, m.c1.hi, r.c1.hi)
+            return (rl0, rh0, rl1, rh1), None
+
+        ones = GF2.ones(self.shape)
+        (l0, h0, l1, h1), _ = jax.lax.scan(
+            body, (ones.c0.lo, ones.c0.hi, ones.c1.lo, ones.c1.hi),
+            jnp.asarray(bits))
+        return GF2(GF(l0, h0), GF(l1, h1))
 
     def equal(self, other: "GF2"):
         return self.c0.equal(other.c0) & self.c1.equal(other.c1)
@@ -146,12 +174,48 @@ class GF2:
         return GF2(self.c0.sum(axis), self.c1.sum(axis))
 
 
+def _scan_powers2(base: GF2, k: int) -> GF2:
+    """[1, b, ..., b^{k-1}] via a k-step scan."""
+    import jax
+    import jax.numpy as jnp
+
+    def body(carry, _):
+        c = GF2(GF(carry[0], carry[1]), GF(carry[2], carry[3]))
+        n = c * base
+        return (n.c0.lo, n.c0.hi, n.c1.lo, n.c1.hi), carry
+
+    u32 = jnp.uint32
+    one = (jnp.full((), 1, u32), jnp.zeros((), u32),
+           jnp.zeros((), u32), jnp.zeros((), u32))
+    _, (l0, h0, l1, h1) = jax.lax.scan(body, one, None, length=k)
+    return GF2(GF(l0, h0), GF(l1, h1))
+
+
 def gf2_powers(base: GF2, n: int) -> GF2:
-    """[1, b, ..., b^{n-1}] by log-doubling."""
+    """[1, b, ..., b^{n-1}] via radix-16 digit tables + broadcast products
+    (see gf_powers for the rationale)."""
     assert base.shape == ()
-    out = GF2.ones((1,))
-    while out.shape[0] < n:
-        k = out.shape[0]
-        bk = base.exp(k)
-        out = GF2.concatenate([out, out * bk.broadcast_to((k,))])
+    if n == 1:
+        return GF2.ones((1,))
+    lg = (n - 1).bit_length()
+    radices = []
+    while lg > 0:
+        r = min(4, lg)
+        radices.append(1 << r)
+        lg -= r
+    tables = []
+    cur = base
+    for li, radix in enumerate(radices):
+        t = _scan_powers2(cur, radix)
+        tables.append(t)
+        if li + 1 < len(radices):
+            cur = t[radix - 1] * cur
+    out = tables[0]
+    span = radices[0]
+    for li in range(1, len(radices)):
+        radix = radices[li]
+        big = tables[li].reshape(radix, 1).broadcast_to((radix, span))
+        out = (big * out.reshape(1, span).broadcast_to((radix, span))) \
+            .reshape(radix * span)
+        span *= radix
     return out[:n]

@@ -378,35 +378,84 @@ class GF:
         return (self.lo == 0) & (self.hi == 0)
 
     def sum(self, axis=None) -> "GF":
-        """Tree-reduction sum along an axis (log-depth, exact)."""
+        """Tree-reduction sum along an axis (log-depth, exact).
+
+        Uses static slices (never gathers or concats of computed values —
+        those trigger pathological XLA:CPU compiles when fed by multiply
+        chains)."""
         x = self
         if axis is None:
             x = x.reshape(-1)
             axis = 0
+        if axis < 0:
+            axis += x.ndim
         n = x.shape[axis]
-        # pad to a power of two with zeros
-        pow2 = 1 << (n - 1).bit_length()
+        pow2 = 1 << (n - 1).bit_length() if n > 1 else 1
         if pow2 != n:
+            # one concat with CONSTANT zeros up front; concats of computed
+            # values inside the reduction trigger pathological XLA:CPU
+            # compiles
             pad_shape = list(x.shape)
             pad_shape[axis] = pow2 - n
             x = GF.concatenate([x, GF.zeros(tuple(pad_shape))], axis=axis)
-        while x.shape[axis] > 1:
-            h = x.shape[axis] // 2
-            a = x.take(jnp.arange(h), axis=axis)
-            b = x.take(jnp.arange(h, 2 * h), axis=axis)
-            x = a + b
-        return x.take(0, axis=axis)
+            n = pow2
+        lo, hi = x.lo, x.hi
+        sl = lambda a, s, e: jax.lax.slice_in_dim(a, s, e, axis=axis)
+        while n > 1:
+            h = n // 2
+            lo, hi = add(sl(lo, 0, h), sl(hi, 0, h),
+                         sl(lo, h, 2 * h), sl(hi, h, 2 * h))
+            n = h
+        idx = [slice(None)] * lo.ndim
+        idx[axis] = 0
+        return GF(lo[tuple(idx)], hi[tuple(idx)])
+
+
+def _scan_powers(base: GF, k: int) -> GF:
+    """[1, b, ..., b^{k-1}] via a k-step scan (one tiny compiled kernel)."""
+    def body(carry, _):
+        nl, nh = mul(carry[0], carry[1], base.lo, base.hi)
+        return (nl, nh), (carry[0], carry[1])
+
+    one = (jnp.full((), _1, u32), jnp.zeros((), u32))
+    _, (lo, hi) = jax.lax.scan(body, one, None, length=k)
+    return GF(lo, hi)
 
 
 def gf_powers(base: GF, n: int) -> GF:
-    """[1, b, b^2, ..., b^{n-1}] by log-doubling (device-side)."""
+    """[1, b, b^2, ..., b^{n-1}] as an outer product of radix-16 digit tables:
+    out[i] = prod_l T_l[digit_l(i)] with T_l = scanned powers of b^(16^l).
+    No selects, no scalar-op chains inside fused kernels — both trigger
+    pathological XLA:CPU compile times; a handful of broadcast muls instead."""
     assert base.shape == ()
-    out = GF.ones((1,))
-    while out.shape[0] < n:
-        k = out.shape[0]
-        # out[k:2k] = out[0:k] * base^k
-        bk = base.exp(k)
-        out = GF.concatenate([out, out * bk.broadcast_to((k,))])
+    if n == 1:
+        return GF.ones((1,))
+    lg = (n - 1).bit_length()
+    radices = []
+    while lg > 0:
+        r = min(4, lg)
+        radices.append(1 << r)
+        lg -= r
+    tables = []
+    cur = base
+    for li, radix in enumerate(radices):
+        t = _scan_powers(cur, radix)
+        tables.append(t)
+        if li + 1 < len(radices):
+            # cur^radix = t[-1] * cur
+            cur = t[radix - 1] * cur
+    # combine: broadcast-product over digit axes (level 0 = least significant)
+    total = 1
+    for radix in radices:
+        total *= radix
+    out = tables[0]
+    span = radices[0]
+    for li in range(1, len(radices)):
+        radix = radices[li]
+        big = tables[li].reshape(radix, 1).broadcast_to((radix, span))
+        out = (big * out.reshape(1, span).broadcast_to((radix, span))) \
+            .reshape(radix * span)
+        span *= radix
     return out[:n]
 
 

@@ -132,23 +132,77 @@ class PolynomialBatch:
         for batch in instance.batches:
             polys = _gather_batch_polys(oracles, batch.polynomials)
             assert polys.shape[-1] == n
-            comp = reduce_polys_base(polys, galpha)          # GF2 [n]
-            quotient = divide_by_linear(comp, GF2.const(*batch.point))
             count = len(batch.polynomials)
-            shift = galpha.exp(count)
-            final = final * shift.broadcast_to(final.shape) + quotient
+            comp = _reduce_fn(count, n)(polys, galpha)       # GF2 [n]
+            quotient = _quotient_stages(n, GF2.const(*batch.point), comp)
+            final = _acc_fn(count, n)(final, galpha, quotient)
 
         # okx circom tweak: multiply by X (top coefficient is provably zero)
-        final = mul_poly_by_x(final)[:n]
-
         rate_bits = fri_params.config.rate_bits
-        lde_coeffs = GF2(
-            _pad_poly(final.c0, rate_bits), _pad_poly(final.c1, rate_bits))
-        lde_values = GF2(ntt.coset_lde(final.c0, rate_bits),
-                         ntt.coset_lde(final.c1, rate_bits))
+        lde_coeffs, lde_values = _final_lde_fn(n, rate_bits)(final)
 
         return fri_proof([o.merkle_tree for o in oracles], lde_coeffs,
                          lde_values, challenger, fri_params)
+
+
+@lru_cache(maxsize=None)
+def _reduce_fn(num_polys: int, n: int):
+    return jax.jit(reduce_polys_base)
+
+
+@lru_cache(maxsize=None)
+def _powers_fn(n: int):
+    return jax.jit(lambda z: gf2_powers(z, n))
+
+
+@lru_cache(maxsize=None)
+def _w_fn(n: int):
+    return jax.jit(lambda p, zpow: p * zpow)
+
+
+@lru_cache(maxsize=None)
+def _suffix_fn(n: int):
+    from ..ops.polynomial import _suffix_scan_add
+    return jax.jit(_suffix_scan_add)
+
+
+@lru_cache(maxsize=None)
+def _q_fn(n: int):
+    def f(s: GF2, zinv_pow: GF2):
+        s_shift = GF2.concatenate([s[1:], GF2.zeros((1,))], axis=-1)
+        return s_shift * zinv_pow
+    return jax.jit(f)
+
+
+def _quotient_stages(n: int, z: GF2, comp: GF2) -> GF2:
+    """divide_by_linear as isolated jit stages (the fused suffix-scan +
+    multiply-chain program hits a pathological XLA:CPU compile)."""
+    zpow = _powers_fn(n)(z)
+    zinv = z.inverse()
+    zinv_pow = _powers_fn(n)(zinv) * zinv.broadcast_to((n,))
+    w = _w_fn(n)(comp, zpow)
+    s = _suffix_fn(n)(w)
+    return _q_fn(n)(s, zinv_pow)
+
+
+@lru_cache(maxsize=None)
+def _acc_fn(count: int, n: int):
+    def f(final: GF2, alpha: GF2, quotient: GF2):
+        shift = alpha.exp(count)
+        return final * shift.broadcast_to((n,)) + quotient
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _final_lde_fn(n: int, rate_bits: int):
+    def f(final: GF2):
+        shifted = mul_poly_by_x(final)[:n]
+        lde_coeffs = GF2(_pad_poly(shifted.c0, rate_bits),
+                         _pad_poly(shifted.c1, rate_bits))
+        lde_values = GF2(ntt.coset_lde(shifted.c0, rate_bits),
+                         ntt.coset_lde(shifted.c1, rate_bits))
+        return lde_coeffs, lde_values
+    return jax.jit(f)
 
 
 def _pad_poly(c: GF, rate_bits: int) -> GF:

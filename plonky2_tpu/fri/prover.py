@@ -113,8 +113,12 @@ def fri_proof_of_work(challenger: Challenger, pow_bits: int,
     """Vectorized grind: find witness w such that the duplex response (the
     last squeezed element) has >= pow_bits leading zeros."""
     if batch is None:
-        # ~8x the expected number of tries per wave (>=99.97% one-wave hit)
-        batch = max(256, min(1 << 19, 8 << pow_bits))
+        if jax.default_backend() == "cpu":
+            # small waves: a 1-core CPU pays real time per candidate
+            batch = max(256, min(1 << 16, 2 << pow_bits))
+        else:
+            # ~8x the expected tries per wave (>=99.97% one-wave hit)
+            batch = max(256, min(1 << 20, 8 << pow_bits))
     state = list(challenger.sponge_state)
     witness_pos = len(challenger.input_buffer)
     for i, x in enumerate(challenger.input_buffer):

@@ -258,5 +258,9 @@ class IntAlgebra:
     def const(c):
         return c % P
 
+    @staticmethod
+    def zero():
+        return 0
+
 
 INT = IntAlgebra()

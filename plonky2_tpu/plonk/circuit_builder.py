@@ -15,6 +15,8 @@ import numpy as np
 from ..field import reference as ref
 from ..field.goldilocks import GF
 from ..fri.oracle import PolynomialBatch
+from ..gadgets.extension import ExtensionGadgets
+from ..gadgets.misc import MiscGadgets
 from ..gates.basic_gates import (
     ArithmeticGate, ConstantGate, NoopGate, PublicInputGate,
 )
@@ -37,7 +39,7 @@ def _is_pow2(n):
     return n & (n - 1) == 0 and n > 0
 
 
-class CircuitBuilder:
+class CircuitBuilder(ExtensionGadgets, MiscGadgets):
     def __init__(self, config: CircuitConfig | None = None):
         self.config = config or CircuitConfig.standard_recursion_config()
         self.gate_instances: list[tuple[Gate, list[int]]] = []
@@ -237,7 +239,7 @@ class CircuitBuilder:
                 and len(self.gate_instances) < (1 << min_degree_bits)):
             self.add_gate(NoopGate(), [])
 
-    def build(self) -> CircuitData:
+    def build(self, min_degree_bits: int | None = None) -> CircuitData:
         config = self.config
         rate_bits = config.fri_config.rate_bits
         cap_height = config.fri_config.cap_height
@@ -264,7 +266,7 @@ class CircuitBuilder:
             cg.constant = c
             self.add_simple_generator(cg)
 
-        self.blind_and_pad()
+        self.blind_and_pad(min_degree_bits)
         degree = len(self.gate_instances)
         degree_bits = degree.bit_length() - 1
         fri_params = config.fri_config.fri_params(degree_bits,

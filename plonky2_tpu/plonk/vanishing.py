@@ -98,9 +98,9 @@ def eval_vanishing_poly(alg, common: CommonCircuitData, x, local_constants,
                         local_wires, pi_hash, local_zs, next_zs,
                         partial_products, s_sigmas, betas, gammas, alphas,
                         l_0_x):
-    """Generic over the algebra: ExtAlgebra at zeta (verifier) or GFAlgebra
-    over the LDE grid (prover). betas/gammas/alphas are base-field ints,
-    lifted via alg.const. Returns one combined value per challenge."""
+    """Generic over the algebra: ExtAlgebra at zeta (native verifier) or
+    TargetAlgebra (recursive verifier). betas/gammas/alphas are already-lifted
+    algebra elements. Returns one combined value per challenge."""
     constraint_terms = evaluate_gate_constraints(alg, common, local_constants,
                                                  local_wires, pi_hash)
     nc = common.config.num_challenges
@@ -114,8 +114,8 @@ def eval_vanishing_poly(alg, common: CommonCircuitData, x, local_constants,
         z_x = local_zs[i]
         z_gx = next_zs[i]
         z1_terms.append(alg.mul(l_0_x, alg.sub(z_x, one)))
-        beta = alg.const(betas[i])
-        gamma = alg.const(gammas[i])
+        beta = betas[i]
+        gamma = gammas[i]
         numerators = []
         denominators = []
         for j in range(nr):
@@ -130,8 +130,7 @@ def eval_vanishing_poly(alg, common: CommonCircuitData, x, local_constants,
             common.quotient_degree_factor))
 
     terms = z1_terms + pp_terms + constraint_terms
-    return [reduce_with_powers(alg, terms, alg.const(alphas[i]))
-            for i in range(nc)]
+    return [reduce_with_powers(alg, terms, alphas[i]) for i in range(nc)]
 
 
 # ---------------------------------------------------------------------------
@@ -159,4 +158,5 @@ def eval_vanishing_poly_at_zeta(common: CommonCircuitData, zeta: E, openings,
         [tuple(v) for v in openings.plonk_zs_next],
         [tuple(v) for v in openings.partial_products],
         [tuple(v) for v in openings.plonk_sigmas],
-        betas, gammas, alphas, l_0)
+        [EXT.const(b) for b in betas], [EXT.const(g) for g in gammas],
+        [EXT.const(a) for a in alphas], l_0)

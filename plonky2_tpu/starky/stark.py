@@ -1,0 +1,91 @@
+"""Stark base class + constraint consumer.
+
+Reference: starky/src/stark.rs:24-280 (Stark trait),
+constraint_consumer.rs:20-90, evaluation_frame.rs:8-50.
+
+TPU-first: a Stark's `eval` is written ONCE over an abstract algebra and an
+EvaluationFrame of algebra elements; the prover feeds batched GF rows over
+the whole quotient coset, the verifier feeds python-int ext2 scalars at zeta
+(and later the recursive verifier feeds extension targets).
+"""
+
+from __future__ import annotations
+
+from ..field import reference as ref
+from ..fri.structure import FriBatchInfo, FriInstanceInfo, FriOracleInfo, \
+    FriPolynomialInfo
+
+
+class EvaluationFrame:
+    """Two consecutive trace rows + public inputs, as algebra elements."""
+
+    def __init__(self, local_values, next_values, public_inputs):
+        self.local_values = local_values
+        self.next_values = next_values
+        self.public_inputs = public_inputs
+
+
+class ConstraintConsumer:
+    """Accumulates sum_k alpha^k * c_k per challenge
+    (reference: constraint_consumer.rs:20-88)."""
+
+    def __init__(self, alg, alphas, z_last, lagrange_first, lagrange_last):
+        self.alg = alg
+        self.alphas = alphas
+        self.z_last = z_last
+        self.l_first = lagrange_first
+        self.l_last = lagrange_last
+        self.accs = [alg.zero() for _ in alphas]
+
+    def constraint(self, c):
+        for i, a in enumerate(self.alphas):
+            self.accs[i] = self.alg.add(self.alg.mul(self.accs[i], a), c)
+
+    def constraint_transition(self, c):
+        """Holds on all rows but the last."""
+        self.constraint(self.alg.mul(c, self.z_last))
+
+    def constraint_first_row(self, c):
+        self.constraint(self.alg.mul(c, self.l_first))
+
+    def constraint_last_row(self, c):
+        self.constraint(self.alg.mul(c, self.l_last))
+
+
+class Stark:
+    """Subclass and define COLUMNS, PUBLIC_INPUTS, constraint_degree, eval."""
+
+    COLUMNS: int = 0
+    PUBLIC_INPUTS: int = 0
+
+    def constraint_degree(self) -> int:
+        raise NotImplementedError
+
+    def eval(self, alg, frame: EvaluationFrame,
+             consumer: ConstraintConsumer) -> None:
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def quotient_degree_factor(self) -> int:
+        return max(1, self.constraint_degree() - 1)
+
+    def num_quotient_polys(self, config) -> int:
+        return config.num_challenges * self.quotient_degree_factor()
+
+    def fri_instance(self, zeta, g: int, config) -> FriInstanceInfo:
+        """reference: stark.rs:100-184 (no aux oracle without lookups/CTLs)."""
+        oracles = []
+        trace_info = FriPolynomialInfo.from_range(0, 0, self.COLUMNS)
+        oracles.append(FriOracleInfo(num_polys=self.COLUMNS, blinding=False))
+        quotient_info = FriPolynomialInfo.from_range(
+            1, 0, self.num_quotient_polys(config))
+        oracles.append(FriOracleInfo(
+            num_polys=self.num_quotient_polys(config), blinding=False))
+
+        zeta_batch = FriBatchInfo(point=tuple(zeta),
+                                  polynomials=tuple(trace_info + quotient_info))
+        zeta_next = ref.ext2_scalar_mul(zeta, g)
+        zeta_next_batch = FriBatchInfo(point=tuple(zeta_next),
+                                       polynomials=tuple(trace_info))
+        return FriInstanceInfo(oracles=tuple(oracles),
+                               batches=(zeta_batch, zeta_next_batch))

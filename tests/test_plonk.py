@@ -22,37 +22,27 @@ def _fibonacci_circuit(n_steps=99):
     return builder, initial_a, initial_b, cur
 
 
-def test_fibonacci_prove_verify():
-    builder, a, b, out = _fibonacci_circuit(99)
-    data = builder.build()
-
-    pw = PartialWitness()
-    pw.set_target(a, 0)
-    pw.set_target(b, 1)
-    proof = data.prove(pw)
-
+def test_fibonacci_prove_verify(fib_data_and_proof):
+    data, proof = fib_data_and_proof
     fib = [0, 1]
     for _ in range(99):
         fib.append((fib[-1] + fib[-2]) % ref.ORDER)
     assert proof.public_inputs == [0, 1, fib[100]]
-
     data.verify(proof)
 
 
-def test_fibonacci_rejects_wrong_public_input():
-    builder, a, b, out = _fibonacci_circuit(99)
-    data = builder.build()
-    pw = PartialWitness()
-    pw.set_target(a, 0)
-    pw.set_target(b, 1)
-    proof = data.prove(pw)
-    proof.public_inputs[2] = (proof.public_inputs[2] + 1) % ref.ORDER
+def test_fibonacci_rejects_wrong_public_input(fib_data_and_proof):
+    data, proof = fib_data_and_proof
+    import copy
+    bad = copy.deepcopy(proof)
+    bad.public_inputs[2] = (bad.public_inputs[2] + 1) % ref.ORDER
     with pytest.raises(AssertionError):
-        data.verify(proof)
+        data.verify(bad)
 
 
 def test_factorial_prove_verify():
-    """reference: plonky2/tests/factorial_test.rs."""
+    """reference: plonky2/tests/factorial_test.rs. Padded to the fibonacci
+    test's degree so the prover programs hit the persistent compile cache."""
     builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
     initial = builder.add_virtual_target()
     cur = initial
@@ -60,7 +50,7 @@ def test_factorial_prove_verify():
         cur = builder.mul_const(i, cur)
     builder.register_public_input(initial)
     builder.register_public_input(cur)
-    data = builder.build()
+    data = builder.build(min_degree_bits=3)
 
     pw = PartialWitness()
     pw.set_target(initial, 1)

@@ -1,0 +1,36 @@
+"""STARK prover/verifier e2e (reference: starky fibonacci_stark tests)."""
+
+import pytest
+
+from plonky2_tpu.field import reference as ref
+from plonky2_tpu.starky.config import StarkConfig
+from plonky2_tpu.starky.fibonacci_stark import FibonacciStark
+from plonky2_tpu.starky.prover import prove
+from plonky2_tpu.starky.verifier import verify_stark_proof
+
+
+def fib(n, x0, x1):
+    for _ in range(n):
+        x0, x1 = x1, (x0 + x1) % ref.ORDER
+    return x1
+
+
+def test_fibonacci_stark():
+    num_rows = 1 << 5
+    config = StarkConfig.standard_fast_config()
+    stark = FibonacciStark(num_rows)
+    public_inputs = [0, 1, fib(num_rows - 1, 0, 1)]
+    trace = stark.generate_trace(0, 1)
+    proof = prove(stark, config, trace, public_inputs)
+    verify_stark_proof(stark, proof, config)
+
+
+def test_fibonacci_stark_rejects_wrong_result():
+    num_rows = 1 << 5
+    config = StarkConfig.standard_fast_config()
+    stark = FibonacciStark(num_rows)
+    public_inputs = [0, 1, (fib(num_rows - 1, 0, 1) + 1) % ref.ORDER]
+    trace = stark.generate_trace(0, 1)
+    with pytest.raises(AssertionError):
+        proof = prove(stark, config, trace, public_inputs)
+        verify_stark_proof(stark, proof, config)
