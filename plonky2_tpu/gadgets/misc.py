@@ -59,13 +59,17 @@ class MiscGadgets:
         return [wire(row, gate.START_LIMBS + i) for i in range(num_bits)]
 
     def le_sum(self, bits: list):
-        """Recombine little-endian bits into a target."""
+        """Recombine little-endian bits into a target. Needs the bits->sum
+        generator (the gate's own generator computes the reverse split;
+        reference: gadgets/split_join.rs le_sum + BaseSumGenerator)."""
         if not bits:
             return self.zero()
         gate = BaseSumGate(len(bits), base=2)
         row = self.add_gate(gate, [])
         for i, b in enumerate(bits):
             self.connect(b, wire(row, gate.START_LIMBS + i))
+        self.add_simple_generator(_BaseSumGenerator(list(bits),
+                                                    wire(row, gate.WIRE_SUM)))
         return wire(row, gate.WIRE_SUM)
 
     def assert_bool(self, b) -> None:
@@ -157,6 +161,24 @@ class MiscGadgets:
             ExtTarget(*(wire(row, w) for w in gate.wires_evaluation_point())))
         return ExtTarget(*(wire(row, w)
                            for w in gate.wires_evaluation_value()))
+
+
+class _BaseSumGenerator:
+    """sum = sum_i bits[i] * 2^i from the bit targets."""
+
+    def __init__(self, bits, sum_target):
+        self.bits = bits
+        self.sum_target = sum_target
+
+    def watch_list(self):
+        return list(self.bits)
+
+    def run(self, witness, out):
+        if not all(witness.is_set(b) for b in self.bits):
+            return False
+        total = sum(witness.get(b) << i for i, b in enumerate(self.bits))
+        out.append((self.sum_target, total % ref.ORDER))
+        return True
 
 
 class ReducingFactorTarget:
