@@ -17,6 +17,7 @@ from ..field.goldilocks import GF
 from ..fri.oracle import PolynomialBatch
 from ..gadgets.extension import ExtensionGadgets
 from ..gadgets.misc import MiscGadgets
+from ..gadgets.u32 import U32Gadgets
 from ..gates.basic_gates import (
     ArithmeticGate, ConstantGate, NoopGate, PublicInputGate,
 )
@@ -39,7 +40,7 @@ def _is_pow2(n):
     return n & (n - 1) == 0 and n > 0
 
 
-class CircuitBuilder(ExtensionGadgets, MiscGadgets):
+class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets):
     def __init__(self, config: CircuitConfig | None = None):
         self.config = config or CircuitConfig.standard_recursion_config()
         self.gate_instances: list[tuple[Gate, list[int]]] = []
