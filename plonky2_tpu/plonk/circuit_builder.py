@@ -18,6 +18,7 @@ from ..fri.oracle import PolynomialBatch
 from ..gadgets.extension import ExtensionGadgets
 from ..gadgets.misc import MiscGadgets
 from ..gadgets.u32 import U32Gadgets
+from ..gates.lookup_gates import LookupGadgets
 from ..gates.basic_gates import (
     ArithmeticGate, ConstantGate, NoopGate, PublicInputGate,
 )
@@ -40,7 +41,8 @@ def _is_pow2(n):
     return n & (n - 1) == 0 and n > 0
 
 
-class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets):
+class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
+                     LookupGadgets):
     def __init__(self, config: CircuitConfig | None = None):
         self.config = config or CircuitConfig.standard_recursion_config()
         self.gate_instances: list[tuple[Gate, list[int]]] = []
@@ -232,9 +234,52 @@ class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets):
         self.generators.append(g)
 
     # -- build ------------------------------------------------------------------
+    def _num_blinding_gates(self, degree_estimate: int):
+        """reference: circuit_builder.rs:839-858 (D=2)."""
+        D = 2
+        degree_bits = degree_estimate.bit_length() - 1
+        fri_cfg = self.config.fri_config
+        arity_bits = fri_cfg.reduction_strategy.reduction_arity_bits(
+            degree_bits, fri_cfg.rate_bits, fri_cfg.cap_height,
+            fri_cfg.num_query_rounds)
+        arities = [1 << a for a in arity_bits]
+        total_folding = sum(a - 1 for a in arities)
+        prod = 1
+        for a in arities:
+            prod *= a
+        final_coeffs = degree_estimate // prod
+        fri_openings = fri_cfg.num_query_rounds * (
+            1 + D * total_folding + D * final_coeffs)
+        return (D + fri_openings, 2 * D + fri_openings)
+
+    def _blind(self) -> None:
+        """zk blinding rows (reference: circuit_builder.rs:863-940): one
+        random row per regular opening; two copy-constrained random rows per
+        Z opening."""
+        num_gates = len(self.gate_instances)
+        degree_estimate = 1 << (num_gates - 1).bit_length()
+        while True:
+            regular, z = self._num_blinding_gates(degree_estimate)
+            if num_gates + regular + 2 * z <= degree_estimate:
+                break
+            degree_estimate *= 2
+        nw, nr = self.config.num_wires, self.config.num_routed_wires
+        for _ in range(regular):
+            row = self.add_gate(NoopGate(), [])
+            for w in range(nw):
+                self.add_simple_generator(
+                    RandomValueGenerator(wire(row, w), self._rng))
+        for _ in range(z):
+            g1 = self.add_gate(NoopGate(), [])
+            g2 = self.add_gate(NoopGate(), [])
+            for w in range(nr):
+                self.add_simple_generator(
+                    RandomValueGenerator(wire(g1, w), self._rng))
+                self.connect(wire(g1, w), wire(g2, w))
+
     def blind_and_pad(self, min_degree_bits: int | None = None) -> None:
-        assert not self.config.zero_knowledge, "zk blinding not yet implemented"
-        target = len(self.gate_instances)
+        if self.config.zero_knowledge:
+            self._blind()
         while not _is_pow2(len(self.gate_instances)) or (
                 min_degree_bits is not None
                 and len(self.gate_instances) < (1 << min_degree_bits)):
