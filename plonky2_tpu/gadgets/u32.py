@@ -363,6 +363,233 @@ class _U32SubtractionGenerator(SimpleGenerator):
             v >>= g.LIMB_BITS
 
 
+class ComparisonGate(Gate):
+    """first <= second over num_bits-bit values, via base-2^chunk_bits chunk
+    decomposition and a most-significant-differing-chunk scan
+    (reference: u32/src/gates/comparison.rs:40-410)."""
+
+    def __init__(self, num_bits: int, num_chunks: int):
+        self.num_bits = num_bits
+        self.num_chunks = num_chunks
+
+    def chunk_bits(self):
+        return -(-self.num_bits // self.num_chunks)
+
+    def id(self):
+        return (f"ComparisonGate {{ num_bits: {self.num_bits}, "
+                f"num_chunks: {self.num_chunks} }}")
+
+    def wire_first_input(self):
+        return 0
+
+    def wire_second_input(self):
+        return 1
+
+    def wire_result_bool(self):
+        return 2
+
+    def wire_most_significant_diff(self):
+        return 3
+
+    def wire_first_chunk_val(self, chunk):
+        return 4 + chunk
+
+    def wire_second_chunk_val(self, chunk):
+        return 4 + self.num_chunks + chunk
+
+    def wire_equality_dummy(self, chunk):
+        return 4 + 2 * self.num_chunks + chunk
+
+    def wire_chunks_equal(self, chunk):
+        return 4 + 3 * self.num_chunks + chunk
+
+    def wire_intermediate_value(self, chunk):
+        return 4 + 4 * self.num_chunks + chunk
+
+    def wire_most_significant_diff_bit(self, bit_index):
+        return 4 + 5 * self.num_chunks + bit_index
+
+    def num_wires(self):
+        return 4 + 5 * self.num_chunks + self.chunk_bits() + 1
+
+    def degree(self):
+        return 1 << self.chunk_bits()
+
+    def num_constraints(self):
+        return 6 + 5 * self.num_chunks + self.chunk_bits()
+
+    def eval_unfiltered(self, alg, consts, wires, pi_hash):
+        out = []
+        one = alg.const(1)
+        first = wires[self.wire_first_input()]
+        second = wires[self.wire_second_input()]
+        first_chunks = [wires[self.wire_first_chunk_val(i)]
+                        for i in range(self.num_chunks)]
+        second_chunks = [wires[self.wire_second_chunk_val(i)]
+                         for i in range(self.num_chunks)]
+        base = 1 << self.chunk_bits()
+
+        def combine(chunks, b):
+            acc = alg.zero()
+            for c in reversed(chunks):
+                acc = alg.add(alg.mul_const(acc, b), c)
+            return acc
+
+        out.append(alg.sub(combine(first_chunks, base), first))
+        out.append(alg.sub(combine(second_chunks, base), second))
+
+        msd_so_far = alg.zero()
+        for i in range(self.num_chunks):
+            for chunk in (first_chunks[i], second_chunks[i]):
+                prod = None
+                for x in range(base):
+                    t = alg.add_const(chunk, (-x) % ref.ORDER)
+                    prod = t if prod is None else alg.mul(prod, t)
+                out.append(prod)
+            difference = alg.sub(second_chunks[i], first_chunks[i])
+            equality_dummy = wires[self.wire_equality_dummy(i)]
+            chunks_equal = wires[self.wire_chunks_equal(i)]
+            out.append(alg.sub(alg.mul(difference, equality_dummy),
+                               alg.sub(one, chunks_equal)))
+            out.append(alg.mul(chunks_equal, difference))
+            intermediate = wires[self.wire_intermediate_value(i)]
+            out.append(alg.sub(intermediate, alg.mul(chunks_equal, msd_so_far)))
+            msd_so_far = alg.add(
+                intermediate, alg.mul(alg.sub(one, chunks_equal), difference))
+
+        msd = wires[self.wire_most_significant_diff()]
+        out.append(alg.sub(msd, msd_so_far))
+
+        bits = [wires[self.wire_most_significant_diff_bit(i)]
+                for i in range(self.chunk_bits() + 1)]
+        for bit in bits:
+            out.append(alg.mul(bit, alg.sub(one, bit)))
+        bits_combined = combine(bits, 2)
+        out.append(alg.sub(alg.add_const(msd, base), bits_combined))
+        out.append(alg.sub(wires[self.wire_result_bool()],
+                           bits[self.chunk_bits()]))
+        return out
+
+    def generators(self, row, local_constants):
+        return [_ComparisonGenerator(row, self)]
+
+
+class _ComparisonGenerator(SimpleGenerator):
+    def __init__(self, row, gate):
+        self.row, self.gate = row, gate
+
+    def dependencies(self):
+        return [wire(self.row, self.gate.wire_first_input()),
+                wire(self.row, self.gate.wire_second_input())]
+
+    def run_once(self, witness, out):
+        g = self.gate
+        first = witness.get(wire(self.row, g.wire_first_input()))
+        second = witness.get(wire(self.row, g.wire_second_input()))
+        out.append((wire(self.row, g.wire_result_bool()),
+                    1 if first <= second else 0))
+        size = 1 << g.chunk_bits()
+        fc, sc = [], []
+        a, b = first, second
+        for _ in range(g.num_chunks):
+            fc.append(a % size)
+            sc.append(b % size)
+            a //= size
+            b //= size
+        msd_so_far = 0
+        for i in range(g.num_chunks):
+            eq = fc[i] == sc[i]
+            diff = (sc[i] - fc[i]) % ref.ORDER
+            out.append((wire(self.row, g.wire_first_chunk_val(i)), fc[i]))
+            out.append((wire(self.row, g.wire_second_chunk_val(i)), sc[i]))
+            out.append((wire(self.row, g.wire_equality_dummy(i)),
+                        1 if eq else ref.inverse(diff)))
+            out.append((wire(self.row, g.wire_chunks_equal(i)),
+                        1 if eq else 0))
+            out.append((wire(self.row, g.wire_intermediate_value(i)),
+                        msd_so_far if eq else 0))
+            if not eq:
+                msd_so_far = diff
+        out.append((wire(self.row, g.wire_most_significant_diff()),
+                    msd_so_far))
+        v = (size + msd_so_far) % ref.ORDER
+        for i in range(g.chunk_bits() + 1):
+            out.append((wire(self.row, g.wire_most_significant_diff_bit(i)),
+                        v & 1))
+            v >>= 1
+
+
+class U32RangeCheckGate(Gate):
+    """Range-check num_input_limbs values to 32 bits via base-4 aux limbs
+    (reference: u32/src/gates/range_check_u32.rs:33-182)."""
+
+    AUX_LIMB_BITS = 2
+    BASE = 1 << AUX_LIMB_BITS
+    AUX_PER_INPUT = 32 // AUX_LIMB_BITS
+
+    def __init__(self, num_input_limbs: int):
+        self.num_input_limbs = num_input_limbs
+
+    def id(self):
+        return f"U32RangeCheckGate {{ num_input_limbs: {self.num_input_limbs} }}"
+
+    def wire_ith_input_limb(self, i):
+        return i
+
+    def wire_ith_input_limb_jth_aux_limb(self, i, j):
+        return self.num_input_limbs + self.AUX_PER_INPUT * i + j
+
+    def num_wires(self):
+        return self.num_input_limbs * (1 + self.AUX_PER_INPUT)
+
+    def degree(self):
+        return self.BASE
+
+    def num_constraints(self):
+        return self.num_input_limbs * (1 + self.AUX_PER_INPUT)
+
+    def eval_unfiltered(self, alg, consts, wires, pi_hash):
+        out = []
+        for i in range(self.num_input_limbs):
+            input_limb = wires[self.wire_ith_input_limb(i)]
+            aux = [wires[self.wire_ith_input_limb_jth_aux_limb(i, j)]
+                   for j in range(self.AUX_PER_INPUT)]
+            acc = alg.zero()
+            for limb in reversed(aux):
+                acc = alg.add(alg.mul_const(acc, self.BASE), limb)
+            out.append(alg.sub(acc, input_limb))
+            for limb in aux:
+                prod = None
+                for x in range(self.BASE):
+                    t = alg.add_const(limb, (-x) % ref.ORDER)
+                    prod = t if prod is None else alg.mul(prod, t)
+                out.append(prod)
+        return out
+
+    def generators(self, row, local_constants):
+        return [_U32RangeCheckGenerator(row, self)]
+
+
+class _U32RangeCheckGenerator(SimpleGenerator):
+    def __init__(self, row, gate):
+        self.row, self.gate = row, gate
+
+    def dependencies(self):
+        g = self.gate
+        return [wire(self.row, g.wire_ith_input_limb(i))
+                for i in range(g.num_input_limbs)]
+
+    def run_once(self, witness, out):
+        g = self.gate
+        for i in range(g.num_input_limbs):
+            v = witness.get(wire(self.row, g.wire_ith_input_limb(i)))
+            for j in range(g.AUX_PER_INPUT):
+                out.append((wire(self.row,
+                                 g.wire_ith_input_limb_jth_aux_limb(i, j)),
+                            v % g.BASE))
+                v //= g.BASE
+
+
 # ---------------------------------------------------------------------------
 # CircuitBuilderU32 gadgets (reference: u32/src/gadgets/arithmetic_u32.rs)
 # ---------------------------------------------------------------------------
@@ -427,3 +654,37 @@ class U32Gadgets:
         """Decompose a field element known < 2^64 into (low32, high32)."""
         lo, hi = self.mul_add_u32(self.zero(), self.zero(), t)
         return lo, hi
+
+    def range_check_u32(self, targets: list):
+        """Constrain each target to 32 bits
+        (reference: u32/src/gadgets/range_check.rs:10-22)."""
+        gate = U32RangeCheckGate(len(targets))
+        row = self.add_gate(gate, [])
+        for i, t in enumerate(targets):
+            self.connect(t, wire(row, gate.wire_ith_input_limb(i)))
+
+    def list_le(self, a: list, b: list, num_bits: int):
+        """BoolTarget for a <= b as little-endian equal-width limb lists
+        (reference: u32/src/gadgets/multiple_comparison.rs:15-50)."""
+        assert len(a) == len(b)
+        num_chunks = -(-num_bits // 2)
+        one = self.one()
+        result = one
+        for x, y in zip(a, b):
+            g1 = ComparisonGate(num_bits, num_chunks)
+            r1 = self.add_gate(g1, [])
+            self.connect(wire(r1, g1.wire_first_input()), x)
+            self.connect(wire(r1, g1.wire_second_input()), y)
+            a_le_b = wire(r1, g1.wire_result_bool())
+            g2 = ComparisonGate(num_bits, num_chunks)
+            r2 = self.add_gate(g2, [])
+            self.connect(wire(r2, g2.wire_first_input()), y)
+            self.connect(wire(r2, g2.wire_second_input()), x)
+            b_le_a = wire(r2, g2.wire_result_bool())
+            limbs_equal = self.mul(a_le_b, b_le_a)
+            limbs_less = self.sub(one, b_le_a)
+            result = self.mul_add(limbs_equal, result, limbs_less)
+        return result
+
+    def list_le_u32(self, a: list, b: list):
+        return self.list_le(a, b, 32)

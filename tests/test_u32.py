@@ -88,3 +88,30 @@ def test_u32_gadget_circuit_witness():
     assert pis[3] == val >> 32
     assert pis[4] == (pis[2] + pis[3] + 5) & 0xFFFFFFFF
     assert pis[5] == (pis[4] - pis[2]) % (1 << 32)
+
+
+def test_comparison_gate():
+    from plonky2_tpu.gadgets.u32 import ComparisonGate
+    g = ComparisonGate(32, 16)
+    for a, b in [(0, 0), (5, 5), (3, 9), (9, 3),
+                 (rng.randrange(1 << 32), rng.randrange(1 << 32)),
+                 ((1 << 32) - 1, 0), (0, (1 << 32) - 1)]:
+        ins = {g.wire_first_input(): a, g.wire_second_input(): b}
+        wires = run_gate(g, ins)
+        assert_vanishes(g, wires)
+        assert wires[g.wire_result_bool()] == (1 if a <= b else 0)
+
+
+def test_u32_range_check_gate():
+    from plonky2_tpu.gadgets.u32 import U32RangeCheckGate
+    g = U32RangeCheckGate(4)
+    ins = {g.wire_ith_input_limb(i): rng.randrange(1 << 32) for i in range(4)}
+    wires = run_gate(g, ins)
+    assert_vanishes(g, wires)
+    # an out-of-range input must violate a constraint
+    g2 = U32RangeCheckGate(1)
+    ins2 = {g2.wire_ith_input_limb(0): 1 << 32}
+    wires2 = run_gate(g2, ins2)
+    import pytest
+    with pytest.raises(AssertionError):
+        assert_vanishes(g2, wires2)
