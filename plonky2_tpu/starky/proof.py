@@ -15,11 +15,16 @@ class StarkOpeningSet:
     local_values: list[E]
     next_values: list[E]
     quotient_polys: list[E]
+    auxiliary_polys: list[E] | None = None
+    auxiliary_polys_next: list[E] | None = None
 
     def to_fri_openings(self) -> FriOpenings:
+        aux = self.auxiliary_polys or []
+        aux_next = self.auxiliary_polys_next or []
         zeta_batch = FriOpeningBatch(
-            values=tuple(self.local_values + self.quotient_polys))
-        zeta_next_batch = FriOpeningBatch(values=tuple(self.next_values))
+            values=tuple(self.local_values + aux + self.quotient_polys))
+        zeta_next_batch = FriOpeningBatch(
+            values=tuple(self.next_values + aux_next))
         return FriOpenings(batches=(zeta_batch, zeta_next_batch))
 
 
@@ -29,6 +34,7 @@ class StarkProof:
     quotient_polys_cap: list
     openings: StarkOpeningSet
     opening_proof: FriProof
+    auxiliary_polys_cap: list | None = None
 
 
 @dataclasses.dataclass

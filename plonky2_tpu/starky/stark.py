@@ -65,6 +65,22 @@ class Stark:
              consumer: ConstraintConsumer) -> None:
         raise NotImplementedError
 
+    def lookups(self) -> list:
+        """logUp lookups performed across this table's columns
+        (reference: stark.rs:250-258)."""
+        return []
+
+    def uses_lookups(self) -> bool:
+        return len(self.lookups()) > 0
+
+    def requires_ctls(self) -> bool:
+        return False
+
+    def num_lookup_helper_columns(self, config) -> int:
+        return config.num_challenges * sum(
+            lk.num_helper_columns(self.constraint_degree())
+            for lk in self.lookups())
+
     # ------------------------------------------------------------------
     def quotient_degree_factor(self) -> int:
         return max(1, self.constraint_degree() - 1)
@@ -72,20 +88,31 @@ class Stark:
     def num_quotient_polys(self, config) -> int:
         return config.num_challenges * self.quotient_degree_factor()
 
-    def fri_instance(self, zeta, g: int, config) -> FriInstanceInfo:
-        """reference: stark.rs:100-184 (no aux oracle without lookups/CTLs)."""
+    def fri_instance(self, zeta, g: int, config,
+                     num_ctl_helpers: int = 0,
+                     num_ctl_zs: int = 0) -> FriInstanceInfo:
+        """reference: stark.rs:100-172 (aux oracle present iff lookups/CTLs)."""
         oracles = []
         trace_info = FriPolynomialInfo.from_range(0, 0, self.COLUMNS)
         oracles.append(FriOracleInfo(num_polys=self.COLUMNS, blinding=False))
+
+        num_aux = (self.num_lookup_helper_columns(config) + num_ctl_helpers
+                   + num_ctl_zs)
+        aux_info = []
+        if self.uses_lookups() or self.requires_ctls():
+            aux_info = FriPolynomialInfo.from_range(len(oracles), 0, num_aux)
+            oracles.append(FriOracleInfo(num_polys=num_aux, blinding=False))
+
         quotient_info = FriPolynomialInfo.from_range(
-            1, 0, self.num_quotient_polys(config))
+            len(oracles), 0, self.num_quotient_polys(config))
         oracles.append(FriOracleInfo(
             num_polys=self.num_quotient_polys(config), blinding=False))
 
-        zeta_batch = FriBatchInfo(point=tuple(zeta),
-                                  polynomials=tuple(trace_info + quotient_info))
+        zeta_batch = FriBatchInfo(
+            point=tuple(zeta),
+            polynomials=tuple(trace_info + aux_info + quotient_info))
         zeta_next = ref.ext2_scalar_mul(zeta, g)
         zeta_next_batch = FriBatchInfo(point=tuple(zeta_next),
-                                       polynomials=tuple(trace_info))
+                                       polynomials=tuple(trace_info + aux_info))
         return FriInstanceInfo(oracles=tuple(oracles),
                                batches=(zeta_batch, zeta_next_batch))

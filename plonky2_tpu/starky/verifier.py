@@ -1,5 +1,6 @@
 """STARK verifier — host-side (reference: starky/src/verifier.rs:29-210,
-get_challenges.rs:26-80)."""
+get_challenges.rs:26-80), including logUp lookup constraint checks
+(verifier.rs:126-160)."""
 
 from __future__ import annotations
 
@@ -10,6 +11,7 @@ from ..gates.gate import EXT
 from ..iop.challenger import Challenger
 from ..utils.bits import log2_strict
 from .config import StarkConfig
+from .lookup import eval_lookups, get_grand_product_challenge_set
 from .proof import StarkProofWithPublicInputs
 from .stark import ConstraintConsumer, EvaluationFrame, Stark
 
@@ -31,6 +33,12 @@ def verify_stark_proof(stark: Stark,
     # replay challenges (reference: starky get_challenges.rs:26-80)
     ch = Challenger()
     ch.observe_cap(proof.trace_cap)
+    lookup_challenges = None
+    if stark.uses_lookups():
+        pairs = get_grand_product_challenge_set(ch, config.num_challenges)
+        lookup_challenges = [beta for beta, _gamma in pairs]
+        assert proof.auxiliary_polys_cap is not None
+        ch.observe_cap(proof.auxiliary_polys_cap)
     alphas = ch.get_n_challenges(config.num_challenges)
     ch.observe_cap(proof.quotient_polys_cap)
     zeta = tuple(ch.get_extension_challenge())
@@ -51,13 +59,20 @@ def verify_stark_proof(stark: Stark,
     last = ref.inverse(g)
     z_last = ref.ext2_sub(zeta, (last, 0))
 
-    frame = EvaluationFrame(
-        [tuple(v) for v in proof.openings.local_values],
-        [tuple(v) for v in proof.openings.next_values],
-        [(p, 0) for p in public_inputs])
+    local = [tuple(v) for v in proof.openings.local_values]
+    next_vals = [tuple(v) for v in proof.openings.next_values]
+    frame = EvaluationFrame(local, next_vals, [(p, 0) for p in public_inputs])
     consumer = ConstraintConsumer(EXT, [EXT.const(a) for a in alphas],
                                   z_last, l_first, l_last)
     stark.eval(EXT, frame, consumer)
+    if stark.uses_lookups():
+        num_lk = stark.num_lookup_helper_columns(config)
+        aux = [tuple(v) for v in proof.openings.auxiliary_polys][:num_lk]
+        aux_next = [tuple(v)
+                    for v in proof.openings.auxiliary_polys_next][:num_lk]
+        eval_lookups(EXT, stark, stark.lookups(), local, next_vals,
+                     aux, aux_next, [EXT.const(c) for c in lookup_challenges],
+                     consumer)
     vanishing = consumer.accs
 
     qdf = stark.quotient_degree_factor()
@@ -69,11 +84,15 @@ def verify_stark_proof(stark: Stark,
         assert tuple(vanishing[i]) == tuple(ref.ext2_mul(z_h_zeta, acc)), \
             f"quotient mismatch for challenge {i}"
 
+    caps = [proof.trace_cap]
+    if proof.auxiliary_polys_cap is not None:
+        caps.append(proof.auxiliary_polys_cap)
+    caps.append(proof.quotient_polys_cap)
     verify_fri_proof(
         stark.fri_instance(zeta, g, config),
         proof.openings.to_fri_openings(),
         fri_ch,
-        [proof.trace_cap, proof.quotient_polys_cap],
+        caps,
         proof.opening_proof,
         config.fri_params(degree_bits),
     )

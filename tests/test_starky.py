@@ -34,3 +34,30 @@ def test_fibonacci_stark_rejects_wrong_result():
     with pytest.raises(AssertionError):
         proof = prove(stark, config, trace, public_inputs)
         verify_stark_proof(stark, proof, config)
+
+
+def test_permutation_stark_logup():
+    """logUp lookup argument end-to-end (reference:
+    starky/src/permutation_stark.rs tests)."""
+    from plonky2_tpu.starky.permutation_stark import PermutationStark
+
+    num_rows = 1 << 5
+    config = StarkConfig.standard_fast_config()
+    stark = PermutationStark()
+    trace = stark.generate_trace(7, num_rows)
+    proof = prove(stark, config, trace, [7])
+    assert proof.proof.auxiliary_polys_cap is not None
+    verify_stark_proof(stark, proof, config)
+
+
+def test_permutation_stark_rejects_non_permutation():
+    from plonky2_tpu.starky.permutation_stark import PermutationStark
+
+    num_rows = 1 << 5
+    config = StarkConfig.standard_fast_config()
+    stark = PermutationStark()
+    trace = stark.generate_trace(7, num_rows)
+    trace[0][3] = 12345  # no longer a permutation of column 1
+    with pytest.raises(AssertionError):
+        proof = prove(stark, config, trace, [7])
+        verify_stark_proof(stark, proof, config)
