@@ -109,6 +109,104 @@ def ext2_exp(a, e: int):
 
 
 # ---------------------------------------------------------------------------
+# Generic degree-D OEF extensions F_p[X]/(X^D - W)
+# (reference: field/src/extension/mod.rs OEF/Frobenius traits,
+#  quartic.rs/quintic.rs; goldilocks_extensions.rs:40-93 — quartic W=7
+#  DTH_ROOT=281474976710656, quintic W=3 DTH_ROOT=1041288259238279555).
+# ---------------------------------------------------------------------------
+
+EXT4_W = 7
+EXT4_DTH_ROOT = 281474976710656
+EXT5_W = 3
+EXT5_DTH_ROOT = 1041288259238279555
+
+
+def extn_add(a, b):
+    return tuple(add(x, y) for x, y in zip(a, b))
+
+
+def extn_sub(a, b):
+    return tuple(sub(x, y) for x, y in zip(a, b))
+
+
+def extn_neg(a):
+    return tuple(neg(x) for x in a)
+
+
+def extn_scalar_mul(a, s: int):
+    return tuple(mul(x, s) for x in a)
+
+
+def extn_mul(a, b, w: int):
+    """c_k = sum_{i+j=k} a_i b_j + W sum_{i+j=k+D} a_i b_j."""
+    d = len(a)
+    c = [0] * d
+    for i, ai in enumerate(a):
+        for j, bj in enumerate(b):
+            t = mul(ai, bj)
+            if i + j < d:
+                c[i + j] = add(c[i + j], t)
+            else:
+                c[i + j - d] = add(c[i + j - d], mul(w, t))
+    return tuple(c)
+
+
+def extn_frobenius(a, dth_root: int, count: int = 1):
+    """a -> a^(p^count): multiply coefficient i by DTH_ROOT^(i*count)
+    (reference: extension/mod.rs:29-60 repeated_frobenius)."""
+    d = len(a)
+    z0 = exp(dth_root, count % d)
+    z = 1
+    out = []
+    for x in a:
+        out.append(mul(x, z))
+        z = mul(z, z0)
+    return tuple(out)
+
+
+def extn_inverse(a, w: int, dth_root: int):
+    """Inverse via the norm: a^-1 = (prod_{k=1..D-1} a^(p^k)) / N(a)
+    (reference: extension/quartic.rs try_inverse)."""
+    d = len(a)
+    t = extn_frobenius(a, dth_root, 1)
+    acc = t
+    for k in range(2, d):
+        acc = extn_mul(acc, extn_frobenius(a, dth_root, k), w)
+    norm = extn_mul(a, acc, w)
+    # the product of all conjugates lies in the base field
+    assert all(x == 0 for x in norm[1:]), "norm not in base field"
+    return extn_scalar_mul(acc, inverse(norm[0]))
+
+
+def extn_exp(a, e: int, w: int):
+    d = len(a)
+    result = tuple([1] + [0] * (d - 1))
+    base = a
+    while e:
+        if e & 1:
+            result = extn_mul(result, base, w)
+        base = extn_mul(base, base, w)
+        e >>= 1
+    return result
+
+
+def ext4_mul(a, b):
+    return extn_mul(a, b, EXT4_W)
+
+
+def ext5_mul(a, b):
+    return extn_mul(a, b, EXT5_W)
+
+
+def ext4_inverse(a):
+    return extn_inverse(a, EXT4_W, EXT4_DTH_ROOT)
+
+
+def ext5_inverse(a):
+    return extn_inverse(a, EXT5_W, EXT5_DTH_ROOT)
+
+
+# ---------------------------------------------------------------------------
 # Naive polynomial ops for oracle checks.
 # ---------------------------------------------------------------------------
 

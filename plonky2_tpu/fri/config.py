@@ -28,7 +28,43 @@ class FriReductionStrategy:
                 result.append(self.arity_bits)
                 db -= self.arity_bits
             return tuple(result)
+        if self.kind == "min_size":
+            return _min_size_arity_bits(degree_bits, rate_bits, num_queries,
+                                        self.max_arity_bits)
         raise NotImplementedError(f"strategy {self.kind}")
+
+
+def _min_size_arity_bits(degree_bits: int, rate_bits: int, num_queries: int,
+                         opt_max_arity_bits) -> tuple[int, ...]:
+    """Exhaustive search over monotonically non-increasing arity sequences
+    minimizing estimated proof size
+    (reference: fri/reduction_strategies.rs:58-174)."""
+    global_max = opt_max_arity_bits or 4
+
+    def relative_proof_size(arity_bits):
+        D = 4
+        layer_bits = degree_bits + rate_bits
+        total = 0
+        for ab in arity_bits:
+            total += ((1 << ab) - 1) * D * num_queries
+            total += layer_bits * 4 * num_queries
+            layer_bits -= ab
+        assert layer_bits >= rate_bits
+        total += D * (1 << (layer_bits - rate_bits))
+        return total
+
+    def helper(prefix):
+        layer_bits = degree_bits + rate_bits - sum(prefix)
+        best = (tuple(prefix), relative_proof_size(prefix))
+        max_ab = min(prefix[-1] if prefix else global_max,
+                     layer_bits - rate_bits)
+        for next_ab in range(1, max_ab + 1):
+            cand = helper(prefix + [next_ab])
+            if cand[1] < best[1]:
+                best = cand
+        return best
+
+    return helper([])[0]
 
 
 @dataclasses.dataclass(frozen=True)

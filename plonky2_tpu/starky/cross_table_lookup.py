@@ -107,16 +107,6 @@ def _gf_suffix_cumsum(x: GF) -> GF:
     return GF(jnp.flip(lo, -1), jnp.flip(hi, -1))
 
 
-def _combined_inverse(trace: GF, columns, filt, challenge: GF) -> GF:
-    """filter/(challenge + combine(columns)) per row, vectorized."""
-    n = trace.shape[-1]
-    # beta=1 combine: sum_i evals_i + gamma, with the reference's beta powers
-    # degenerate for the single-challenge layout (combine uses beta^i; logUp
-    # and CTL both use GrandProductChallenge{beta:1, gamma:challenge}? No —
-    # CTLs use the drawn (beta, gamma) directly: combine = sum ev_i beta^i + gamma.
-    raise NotImplementedError
-
-
 def partial_sums(trace: GF, columns_filters, beta: GF, gamma: GF,
                  constraint_degree: int) -> GF:
     """Helper columns + upside-down Z for one table
@@ -203,64 +193,64 @@ def get_ctl_data(config, trace_per_table: list[GF], ctls,
 @dataclasses.dataclass
 class CtlCheckVars:
     """Openings-side data to check one Z polynomial
-    (reference: cross_table_lookup.rs:469-620)."""
+    (reference: cross_table_lookup.rs:469-620; single-table extraction
+    mirrors CtlCheckVarsTarget::from_proof :734-840)."""
     helper_columns: list
     local_z: object
     next_z: object
-    challenge: tuple        # (beta, gamma) ints
+    challenge: tuple        # (beta, gamma) as algebra elements
     columns: list
     filter: list
 
-    @staticmethod
-    def from_proofs(openings_per_table, ctls, ctl_challenges,
-                    num_lookup_columns: list[int],
-                    num_helper_ctl_columns: list[list[int]]):
-        """openings_per_table: list of (aux_zeta, aux_zeta_next) ext tuples.
-        num_helper_ctl_columns: per ctl, per table helper counts."""
-        n = len(openings_per_table)
-        ctl_vars_per_table = [[] for _ in range(n)]
-        total_helpers = [0] * n
-        for per_ctl in num_helper_ctl_columns:
-            for j in range(n):
-                total_helpers[j] += per_ctl[j] * len(ctl_challenges)
-        ctl_zs = []
-        for (aux, aux_next), num_lk in zip(openings_per_table,
-                                           num_lookup_columns):
-            ctl_zs.append(list(zip(aux[num_lk:], aux_next[num_lk:])))
-        start_indices = [0] * n
-        z_indices = [0] * n
-        for ctl, num_ctls in zip(ctls, num_helper_ctl_columns):
-            for challenge in ctl_challenges:
-                order = []
-                for t in ctl.looking_tables:
-                    if t.table not in order:
-                        order.append(t.table)
-                for table in order:
-                    looking_z, looking_z_next = ctl_zs[table][
-                        total_helpers[table] + z_indices[table]]
-                    group = [t for t in ctl.looking_tables
-                             if t.table == table]
-                    helpers = [h for h, _ in ctl_zs[table][
-                        start_indices[table]
-                        :start_indices[table] + num_ctls[table]]]
-                    start_indices[table] += num_ctls[table]
-                    z_indices[table] += 1
-                    ctl_vars_per_table[table].append(CtlCheckVars(
-                        helper_columns=helpers,
-                        local_z=looking_z, next_z=looking_z_next,
-                        challenge=challenge,
-                        columns=[t.columns for t in group],
-                        filter=[t.filter for t in group]))
+
+def num_ctl_counts(ctls, table: int, constraint_degree: int):
+    """Per-ctl helper counts for `table` (reference:
+    num_ctl_helper_columns_by_table, cross_table_lookup.rs:277-303)."""
+    counts = []
+    for ctl in ctls:
+        appearances = sum(1 for t in ctl.looking_tables if t.table == table)
+        counts.append(-(-appearances // max(constraint_degree - 1, 1))
+                      if appearances > 1 else 0)
+    return counts
+
+
+def ctl_check_vars_single(table: int, ctl_zs, ctls, challenges,
+                          num_helper_ctl: list[int]):
+    """Build CtlCheckVars for one table from its aux-column pairs.
+
+    ctl_zs: list of (local, next) algebra elements — the table's aux columns
+    AFTER the logUp lookup columns (helpers first, then z columns).
+    challenges: list of (beta, gamma) algebra elements.
+    num_helper_ctl: per-ctl helper count for this table."""
+    total_helpers = sum(num_helper_ctl) * len(challenges)
+    z_index = 0
+    start_index = 0
+    ctl_vars = []
+    for ctl, nh in zip(ctls, num_helper_ctl):
+        for challenge in challenges:
+            group = [t for t in ctl.looking_tables if t.table == table]
+            if group:
+                looking_z, looking_z_next = ctl_zs[total_helpers + z_index]
+                helpers = [h for h, _ in
+                           ctl_zs[start_index:start_index + nh]]
+                start_index += nh
+                z_index += 1
+                ctl_vars.append(CtlCheckVars(
+                    helper_columns=helpers,
+                    local_z=looking_z, next_z=looking_z_next,
+                    challenge=challenge,
+                    columns=[t.columns for t in group],
+                    filter=[t.filter for t in group]))
+            if ctl.looked_table.table == table:
                 looked = ctl.looked_table
-                looked_z, looked_z_next = ctl_zs[looked.table][
-                    total_helpers[looked.table] + z_indices[looked.table]]
-                z_indices[looked.table] += 1
-                ctl_vars_per_table[looked.table].append(CtlCheckVars(
+                looked_z, looked_z_next = ctl_zs[total_helpers + z_index]
+                z_index += 1
+                ctl_vars.append(CtlCheckVars(
                     helper_columns=[],
                     local_z=looked_z, next_z=looked_z_next,
                     challenge=challenge,
                     columns=[looked.columns], filter=[looked.filter]))
-        return ctl_vars_per_table
+    return ctl_vars
 
 
 def eval_cross_table_lookup_checks(alg, local_values, next_values, ctl_vars,

@@ -17,6 +17,7 @@ class StarkOpeningSet:
     quotient_polys: list[E]
     auxiliary_polys: list[E] | None = None
     auxiliary_polys_next: list[E] | None = None
+    ctl_zs_first: list[int] | None = None   # base-field openings at x=1
 
     def to_fri_openings(self) -> FriOpenings:
         aux = self.auxiliary_polys or []
@@ -25,7 +26,11 @@ class StarkOpeningSet:
             values=tuple(self.local_values + aux + self.quotient_polys))
         zeta_next_batch = FriOpeningBatch(
             values=tuple(self.next_values + aux_next))
-        return FriOpenings(batches=(zeta_batch, zeta_next_batch))
+        batches = [zeta_batch, zeta_next_batch]
+        if self.ctl_zs_first is not None:
+            batches.append(FriOpeningBatch(
+                values=tuple((v, 0) for v in self.ctl_zs_first)))
+        return FriOpenings(batches=tuple(batches))
 
 
 @dataclasses.dataclass
@@ -41,3 +46,11 @@ class StarkProof:
 class StarkProofWithPublicInputs:
     proof: StarkProof
     public_inputs: list[int]
+
+
+@dataclasses.dataclass
+class MultiProof:
+    """Proofs for a multi-STARK (CTL-linked) system plus the shared CTL
+    challenges (reference: starky/src/proof.rs:192-230)."""
+    stark_proofs: list[StarkProofWithPublicInputs]
+    ctl_challenges: list[tuple[int, int]]

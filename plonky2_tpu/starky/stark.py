@@ -114,5 +114,13 @@ class Stark:
         zeta_next = ref.ext2_scalar_mul(zeta, g)
         zeta_next_batch = FriBatchInfo(point=tuple(zeta_next),
                                        polynomials=tuple(trace_info + aux_info))
+        batches = [zeta_batch, zeta_next_batch]
+        if self.requires_ctls():
+            # CTL Z columns are also opened at x=1 (first row sums)
+            num_lk = self.num_lookup_helper_columns(config)
+            ctl_zs_info = FriPolynomialInfo.from_range(
+                1, num_lk + num_ctl_helpers, num_aux)
+            batches.append(FriBatchInfo(point=(1, 0),
+                                        polynomials=tuple(ctl_zs_info)))
         return FriInstanceInfo(oracles=tuple(oracles),
-                               batches=(zeta_batch, zeta_next_batch))
+                               batches=tuple(batches))

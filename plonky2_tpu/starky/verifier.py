@@ -18,7 +18,13 @@ from .stark import ConstraintConsumer, EvaluationFrame, Stark
 
 def verify_stark_proof(stark: Stark,
                        proof_with_pis: StarkProofWithPublicInputs,
-                       config: StarkConfig) -> None:
+                       config: StarkConfig,
+                       challenger: Challenger | None = None,
+                       ctl_challenges=None, ctls=None,
+                       table: int = 0) -> None:
+    """For CTL-linked tables pass the forked shared `challenger` (state after
+    observing all trace caps + drawing CTL challenges), the challenges, the
+    system CTL descriptors, and this table's index."""
     assert len(proof_with_pis.public_inputs) == stark.PUBLIC_INPUTS
     proof = proof_with_pis.proof
     public_inputs = [x % ref.ORDER for x in proof_with_pis.public_inputs]
@@ -31,12 +37,19 @@ def verify_stark_proof(stark: Stark,
     degree = 1 << degree_bits
 
     # replay challenges (reference: starky get_challenges.rs:26-80)
-    ch = Challenger()
-    ch.observe_cap(proof.trace_cap)
+    if challenger is None:
+        ch = Challenger()
+        ch.observe_cap(proof.trace_cap)
+    else:
+        ch = challenger
     lookup_challenges = None
     if stark.uses_lookups():
-        pairs = get_grand_product_challenge_set(ch, config.num_challenges)
+        if ctl_challenges is not None:
+            pairs = ctl_challenges
+        else:
+            pairs = get_grand_product_challenge_set(ch, config.num_challenges)
         lookup_challenges = [beta for beta, _gamma in pairs]
+    if stark.uses_lookups() or stark.requires_ctls():
         assert proof.auxiliary_polys_cap is not None
         ch.observe_cap(proof.auxiliary_polys_cap)
     alphas = ch.get_n_challenges(config.num_challenges)
@@ -65,14 +78,36 @@ def verify_stark_proof(stark: Stark,
     consumer = ConstraintConsumer(EXT, [EXT.const(a) for a in alphas],
                                   z_last, l_first, l_last)
     stark.eval(EXT, frame, consumer)
+    num_lk = stark.num_lookup_helper_columns(config)
+    num_ctl_helpers = 0
+    num_ctl_zs = 0
     if stark.uses_lookups():
-        num_lk = stark.num_lookup_helper_columns(config)
         aux = [tuple(v) for v in proof.openings.auxiliary_polys][:num_lk]
         aux_next = [tuple(v)
                     for v in proof.openings.auxiliary_polys_next][:num_lk]
         eval_lookups(EXT, stark, stark.lookups(), local, next_vals,
                      aux, aux_next, [EXT.const(c) for c in lookup_challenges],
                      consumer)
+    if stark.requires_ctls():
+        from .cross_table_lookup import (
+            ctl_check_vars_single, eval_cross_table_lookup_checks,
+            num_ctl_counts,
+        )
+        assert ctls is not None and ctl_challenges is not None
+        max_degree = max(2, stark.constraint_degree())
+        per_ctl_helpers = num_ctl_counts(ctls, table, max_degree)
+        aux_all = [tuple(v) for v in proof.openings.auxiliary_polys]
+        aux_all_next = [tuple(v)
+                        for v in proof.openings.auxiliary_polys_next]
+        ctl_zs = list(zip(aux_all[num_lk:], aux_all_next[num_lk:]))
+        num_ctl_zs = len(proof.openings.ctl_zs_first or [])
+        num_ctl_helpers = len(ctl_zs) - num_ctl_zs
+        chal_elts = [(EXT.const(b), EXT.const(g2))
+                     for b, g2 in ctl_challenges]
+        ctl_vars = ctl_check_vars_single(table, ctl_zs, ctls, chal_elts,
+                                         per_ctl_helpers)
+        eval_cross_table_lookup_checks(EXT, local, next_vals, ctl_vars,
+                                       consumer, max_degree)
     vanishing = consumer.accs
 
     qdf = stark.quotient_degree_factor()
@@ -89,10 +124,36 @@ def verify_stark_proof(stark: Stark,
         caps.append(proof.auxiliary_polys_cap)
     caps.append(proof.quotient_polys_cap)
     verify_fri_proof(
-        stark.fri_instance(zeta, g, config),
+        stark.fri_instance(zeta, g, config, num_ctl_helpers=num_ctl_helpers,
+                           num_ctl_zs=num_ctl_zs),
         proof.openings.to_fri_openings(),
         fri_ch,
         caps,
         proof.opening_proof,
         config.fri_params(degree_bits),
     )
+
+
+def verify_multi(starks, multi_proof, config: StarkConfig, ctls) -> None:
+    """Verify a CTL-linked multi-STARK system: replay the shared transcript
+    (all trace caps, CTL challenge pairs), verify each table's proof from a
+    fork, then check the cross-table grand sums
+    (reference: verify_cross_table_lookups, cross_table_lookup.rs:946-995)."""
+    import copy
+
+    from .cross_table_lookup import verify_cross_table_lookups
+
+    proofs = multi_proof.stark_proofs
+    ch = Challenger()
+    for p in proofs:
+        ch.observe_cap(p.proof.trace_cap)
+    ctl_challenges = get_grand_product_challenge_set(ch, config.num_challenges)
+    assert ctl_challenges == multi_proof.ctl_challenges, \
+        "CTL challenge transcript mismatch"
+    for i, (stark, p) in enumerate(zip(starks, proofs)):
+        verify_stark_proof(stark, p, config,
+                           challenger=copy.deepcopy(ch),
+                           ctl_challenges=ctl_challenges, ctls=ctls, table=i)
+    ctl_zs_first = [list(p.proof.openings.ctl_zs_first or [])
+                    for p in proofs]
+    verify_cross_table_lookups(ctls, ctl_zs_first, config.num_challenges)

@@ -71,3 +71,34 @@ def test_powers():
     for i in range(16):
         assert (int(p0[i]), int(p1[i])) == acc
         acc = ref.ext2_mul(acc, (a0, a1))
+
+
+def test_quartic_quintic_extension_axioms():
+    """Field axioms for D=4,5 OEFs (reference: goldilocks_extensions.rs
+    quartic W=7, quintic W=3; field_testing macros)."""
+    import random
+
+    from plonky2_tpu.field import reference as ref
+
+    rng = random.Random(11)
+    for d, w, dth in [(4, ref.EXT4_W, ref.EXT4_DTH_ROOT),
+                      (5, ref.EXT5_W, ref.EXT5_DTH_ROOT)]:
+        # DTH_ROOT = W^((p-1)/D)
+        assert dth == ref.exp(w, (ref.ORDER - 1) // d)
+        one = tuple([1] + [0] * (d - 1))
+        for _ in range(8):
+            a = tuple(rng.randrange(ref.ORDER) for _ in range(d))
+            b = tuple(rng.randrange(ref.ORDER) for _ in range(d))
+            c = tuple(rng.randrange(ref.ORDER) for _ in range(d))
+            # associativity + distributivity
+            assert ref.extn_mul(ref.extn_mul(a, b, w), c, w) == \
+                ref.extn_mul(a, ref.extn_mul(b, c, w), w)
+            assert ref.extn_mul(ref.extn_add(a, b), c, w) == \
+                ref.extn_add(ref.extn_mul(a, c, w), ref.extn_mul(b, c, w))
+            # inverse
+            inv = ref.extn_inverse(a, w, dth)
+            assert ref.extn_mul(a, inv, w) == one
+            # frobenius is the p-power map and has order D
+            assert ref.extn_frobenius(a, dth, 1) == \
+                ref.extn_exp(a, ref.ORDER, w)
+            assert ref.extn_frobenius(a, dth, d) == a

@@ -120,3 +120,19 @@ def test_fri_rejects_wrong_opening():
     with pytest.raises(AssertionError):
         verify_fri_proof(instance, bad_openings, challenges,
                          [oracle.merkle_tree.cap_u64()], proof, params)
+
+
+def test_min_size_reduction_strategy():
+    """MinSize searches non-increasing arity sequences minimizing estimated
+    proof size (reference: fri/reduction_strategies.rs:58-174)."""
+    import dataclasses
+
+    from plonky2_tpu.fri.config import FriReductionStrategy
+
+    s = FriReductionStrategy(kind="min_size")
+    bits = s.reduction_arity_bits(14, 3, 4, 28)
+    assert sum(bits) <= 14
+    assert list(bits) == sorted(bits, reverse=True)  # non-increasing
+    # must beat (or match) the constant-arity default on its own metric
+    from plonky2_tpu.fri.config import _min_size_arity_bits
+    assert bits == _min_size_arity_bits(14, 3, 28, None)
