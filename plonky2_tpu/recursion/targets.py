@@ -84,6 +84,46 @@ def _add_cap(builder, cap_height):
     return [builder.add_virtual_targets(4) for _ in range(1 << cap_height)]
 
 
+def add_virtual_fri_proof(builder, fri_params,
+                          num_leaves_per_oracle) -> FriProofTarget:
+    """FRI proof targets for any oracle layout
+    (reference: fri/recursive_verifier.rs:418-470)."""
+    cap_height = fri_params.config.cap_height
+
+    def ext():
+        return builder.add_virtual_extension_target()
+
+    merkle_proof_len0 = fri_params.lde_bits - cap_height
+    query_rounds = []
+    for _ in range(fri_params.config.num_query_rounds):
+        evals_proofs = []
+        for n_leaves in num_leaves_per_oracle:
+            evals = builder.add_virtual_targets(n_leaves)
+            sibs = [builder.add_virtual_targets(4)
+                    for _ in range(merkle_proof_len0)]
+            evals_proofs.append((evals, sibs))
+        steps = []
+        mp_len = merkle_proof_len0
+        for arity_bits in fri_params.reduction_arity_bits:
+            mp_len -= arity_bits
+            steps.append(FriQueryStepTarget(
+                evals=[ext() for _ in range(1 << arity_bits)],
+                merkle_proof=[builder.add_virtual_targets(4)
+                              for _ in range(mp_len)]))
+        query_rounds.append(FriQueryRoundTarget(
+            initial_trees_proof=FriInitialTreeProofTarget(evals_proofs),
+            steps=steps))
+
+    return FriProofTarget(
+        commit_phase_merkle_caps=[
+            _add_cap(builder, cap_height)
+            for _ in fri_params.reduction_arity_bits],
+        query_round_proofs=query_rounds,
+        final_poly=[ext() for _ in range(fri_params.final_poly_len)],
+        pow_witness=builder.add_virtual_target(),
+    )
+
+
 def add_virtual_proof_with_pis(builder, common: CommonCircuitData
                                ) -> ProofWithPublicInputsTarget:
     fri_params = common.fri_params
@@ -108,36 +148,8 @@ def add_virtual_proof_with_pis(builder, common: CommonCircuitData
         quotient_polys=[ext() for _ in range(common.num_quotient_polys)],
     )
 
-    # FRI proof targets
-    merkle_proof_len0 = fri_params.lde_bits - cap_height
-    query_rounds = []
-    for _ in range(fri_params.config.num_query_rounds):
-        evals_proofs = []
-        for n_leaves in num_leaves_per_oracle:
-            evals = builder.add_virtual_targets(n_leaves)
-            sibs = [builder.add_virtual_targets(4)
-                    for _ in range(merkle_proof_len0)]
-            evals_proofs.append((evals, sibs))
-        steps = []
-        mp_len = merkle_proof_len0
-        for arity_bits in fri_params.reduction_arity_bits:
-            mp_len -= arity_bits
-            steps.append(FriQueryStepTarget(
-                evals=[ext() for _ in range(1 << arity_bits)],
-                merkle_proof=[builder.add_virtual_targets(4)
-                              for _ in range(mp_len)]))
-        query_rounds.append(FriQueryRoundTarget(
-            initial_trees_proof=FriInitialTreeProofTarget(evals_proofs),
-            steps=steps))
-
-    opening_proof = FriProofTarget(
-        commit_phase_merkle_caps=[
-            _add_cap(builder, cap_height)
-            for _ in fri_params.reduction_arity_bits],
-        query_round_proofs=query_rounds,
-        final_poly=[ext() for _ in range(fri_params.final_poly_len)],
-        pow_witness=builder.add_virtual_target(),
-    )
+    opening_proof = add_virtual_fri_proof(builder, fri_params,
+                                          num_leaves_per_oracle)
 
     proof = ProofTarget(
         wires_cap=_add_cap(builder, cap_height),
@@ -180,7 +192,11 @@ def set_proof_with_pis_target(pw, pt: ProofWithPublicInputsTarget,
         for t, v in zip(ts, vs):
             _set_ext(pw, t, v)
 
-    fp, fpt = proof.opening_proof, pt.proof.opening_proof
+    set_fri_proof_target(pw, pt.proof.opening_proof, proof.opening_proof)
+
+
+def set_fri_proof_target(pw, fpt: FriProofTarget, fp) -> None:
+    """reference: fri/witness_util.rs set_fri_proof_target."""
     for cap_t, cap_v in zip(fpt.commit_phase_merkle_caps,
                             fp.commit_phase_merkle_caps):
         _set_cap(pw, cap_t, cap_v)
