@@ -77,6 +77,29 @@ class MiscGadgets:
         prod = self.mul(b, b)
         self.connect(prod, b)
 
+    # -- boolean logic (reference: gadgets/arithmetic.rs and/or/not) ---------
+    def not_(self, b):
+        return self.sub(self.one(), b)
+
+    def and_(self, a, b):
+        return self.mul(a, b)
+
+    def or_(self, a, b):
+        # a + b - a*b
+        return self.sub(self.add(a, b), self.mul(a, b))
+
+    def is_equal(self, x, y):
+        """BoolTarget for x == y (reference: gadgets/arithmetic.rs:362-380,
+        EqualityGenerator)."""
+        equal = self.add_virtual_target()
+        inv = self.add_virtual_target()
+        self.add_simple_generator(_EqualityGenerator(x, y, equal, inv))
+        diff = self.sub(x, y)
+        not_equal = self.not_(equal)
+        self.assert_zero(self.mul(equal, diff))
+        self.assert_zero(self.sub(self.mul(diff, inv), not_equal))
+        return equal
+
     # -- exponentiation ------------------------------------------------------------
     def exp_from_bits(self, base, exponent_bits: list):
         gate = ExponentiationGate(len(exponent_bits))
@@ -262,3 +285,23 @@ class ReducingFactorTarget:
         exp = builder.exp_u64_extension(self.base, self.count)
         self.count = 0
         return builder.mul_extension(exp, x)
+
+
+class _EqualityGenerator:
+    """equal = (x == y); inv = 1/(x-y) or 0
+    (reference: gadgets/arithmetic.rs EqualityGenerator)."""
+
+    def __init__(self, x, y, equal, inv):
+        self.x, self.y, self.equal, self.inv = x, y, equal, inv
+
+    def watch_list(self):
+        return [self.x, self.y]
+
+    def run(self, witness, out):
+        if not (witness.is_set(self.x) and witness.is_set(self.y)):
+            return False
+        from ..field import reference as ref
+        diff = ref.sub(witness.get(self.x), witness.get(self.y))
+        out.append((self.equal, 0 if diff else 1))
+        out.append((self.inv, ref.inverse(diff) if diff else 0))
+        return True

@@ -41,8 +41,14 @@ def _is_pow2(n):
     return n & (n - 1) == 0 and n > 0
 
 
+from ..ecdsa.biguint import BigUintGadgets
+from ..ecdsa.curve_gadgets import CurveGadgets
+from ..ecdsa.nonnative import NonNativeGadgets
+
+
 class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
-                     LookupGadgets):
+                     LookupGadgets, BigUintGadgets, NonNativeGadgets,
+                     CurveGadgets):
     def __init__(self, config: CircuitConfig | None = None):
         self.config = config or CircuitConfig.standard_recursion_config()
         self.gate_instances: list[tuple[Gate, list[int]]] = []
@@ -57,6 +63,9 @@ class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
         self.current_slots: dict[str, dict[tuple, tuple[int, int]]] = {}
         self.generators: list = []
         self._rng = np.random.default_rng()
+        # cyclic recursion state (reference: circuit_builder.rs:196-200)
+        self.verifier_data_public_input = None
+        self.goal_common_data = None
 
     # -- targets --------------------------------------------------------------
     def add_virtual_target(self):
@@ -89,6 +98,27 @@ class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
         self.gate_types.setdefault(gate.id(), gate)
         self.gate_instances.append((gate, constants))
         return row
+
+    def add_gate_to_gate_set(self, gate: Gate) -> None:
+        """Register a gate type in the selector set without adding an
+        instance — needed so cyclic circuits' CommonCircuitData matches their
+        goal (reference: circuit_builder.rs add_gate_to_gate_set)."""
+        self.gate_types.setdefault(gate.id(), gate)
+
+    def add_verifier_data_public_inputs(self):
+        """Register this circuit's own verifier data as the FINAL public
+        inputs: [..., circuit_digest(4), constants_sigmas_cap(4*2^h)]
+        (reference: circuit_builder.rs:427-442). Do not register public
+        inputs after this."""
+        assert self.verifier_data_public_input is None, \
+            "add_verifier_data_public_inputs only needs to be called once"
+        from ..recursion.targets import add_virtual_verifier_data
+        vd = add_virtual_verifier_data(self, self.config.fri_config.cap_height)
+        self.register_public_inputs(vd.circuit_digest)
+        for h in vd.constants_sigmas_cap:
+            self.register_public_inputs(h)
+        self.verifier_data_public_input = vd
+        return vd
 
     def find_slot(self, gate: Gate, params: tuple, constants: list[int]):
         """Batched-op slot allocation (reference: circuit_builder.rs:786)."""
@@ -393,6 +423,10 @@ class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
             k_is=k_is,
             num_partial_products=num_partial_products,
         )
+        if self.goal_common_data is not None:
+            assert common.same_shape(self.goal_common_data), \
+                ("cyclic recursion: built CommonCircuitData does not match "
+                 "the goal passed to conditionally_verify_cyclic_proof")
         prover_only = ProverOnlyData(
             generators=generators,
             constants_sigmas_commitment=constants_sigmas_commitment,

@@ -1,0 +1,70 @@
+"""secp256k1 curve gadget tests: witness values must match the native curve
+(reference: ecdsa/src/gadgets/curve.rs tests)."""
+
+import random
+
+import pytest
+
+from plonky2_tpu.ecdsa import curve as native
+from plonky2_tpu.ecdsa.curve_gadgets import set_affine_point_target
+from plonky2_tpu.ecdsa.nonnative import (
+    get_nonnative_target, set_nonnative_target,
+)
+from plonky2_tpu.iop.generator import generate_partial_witness
+from plonky2_tpu.iop.witness import PartialWitness
+from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+from plonky2_tpu.plonk.config import CircuitConfig
+
+from test_starky_recursive import _check_all_rows
+
+rng = random.Random(31)
+
+
+def _point_value(witness, t):
+    return (get_nonnative_target(witness, t.x),
+            get_nonnative_target(witness, t.y))
+
+
+def test_curve_add_double_valid():
+    builder = CircuitBuilder(CircuitConfig.standard_ecc_config())
+    g = native.GENERATOR
+    p_val = g.mul(rng.randrange(2, native.N))
+    q_val = g.mul(rng.randrange(2, native.N))
+    p = builder.add_virtual_affine_point_target()
+    q = builder.add_virtual_affine_point_target()
+    builder.curve_assert_valid(p)
+    s = builder.curve_add(p, q)
+    d = builder.curve_double(p)
+    n = builder.curve_neg(p)
+    data = builder.build()
+
+    pw = PartialWitness()
+    set_affine_point_target(pw, p, p_val)
+    set_affine_point_target(pw, q, q_val)
+    witness = generate_partial_witness(pw, data.prover_only, data.common)
+
+    sv = p_val.add(q_val)
+    dv = p_val.double()
+    assert _point_value(witness, s) == (sv.x, sv.y)
+    assert _point_value(witness, d) == (dv.x, dv.y)
+    assert _point_value(witness, n) == (p_val.x, (-p_val.y) % native.P)
+    _check_all_rows(data, witness)
+
+
+@pytest.mark.slow
+def test_curve_scalar_mul_and_glv():
+    builder = CircuitBuilder(CircuitConfig.standard_ecc_config())
+    g = native.GENERATOR
+    p_val = g.mul(rng.randrange(2, native.N))
+    k_val = rng.randrange(2, native.N)
+    p = builder.add_virtual_affine_point_target()
+    k = builder.add_virtual_nonnative_target(native.N)
+    out = builder.glv_mul(p, k)
+    data = builder.build()
+
+    pw = PartialWitness()
+    set_affine_point_target(pw, p, p_val)
+    set_nonnative_target(pw, k, k_val)
+    witness = generate_partial_witness(pw, data.prover_only, data.common)
+    expect = p_val.mul(k_val)
+    assert _point_value(witness, out) == (expect.x, expect.y)
