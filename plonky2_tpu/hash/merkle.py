@@ -90,6 +90,46 @@ class MerkleTree:
         """uint64 [k, lg_n - cap_height, 4] for many indices at once."""
         return np.stack([self.prove(int(i)) for i in leaf_indices])
 
+    # -- okx mutable-tree ops -------------------------------------------------
+    def change_leaf_and_update(self, leaf: GF, leaf_index: int) -> None:
+        """Replace one leaf and recompute its root path
+        (reference: merkle_tree.rs change_leaf_and_update:638-695).
+
+        On TPU this is log2(n) single-pair hash calls plus in-place scatter
+        updates of the layer arrays."""
+        self.change_leaves_in_range_and_update(
+            leaf.reshape(1, -1), leaf_index, leaf_index + 1)
+
+    def change_leaves_in_range_and_update(self, new_leaves: GF,
+                                          start: int, end: int) -> None:
+        """Replace leaves[start:end] and recompute the affected subpaths
+        (reference: merkle_tree.rs change_leaves_in_range_and_update:699-805).
+        The touched index window shrinks by half per layer, so total work is
+        O((end-start) + log n) batched hashes."""
+        assert 0 <= start < end <= self.leaves.shape[0]
+        assert new_leaves.shape == (end - start, self.leaves.shape[1])
+        idx = jnp.arange(start, end)
+        self.leaves = GF(self.leaves.lo.at[start:end].set(new_leaves.lo),
+                         self.leaves.hi.at[start:end].set(new_leaves.hi))
+        layers = list(self.layers)
+        digests = ps.hash_or_noop(new_leaves)            # [k, 4]
+        lo_idx, hi_idx = start, end
+        layers[0] = GF(layers[0].lo.at[lo_idx:hi_idx].set(digests.lo),
+                       layers[0].hi.at[lo_idx:hi_idx].set(digests.hi))
+        for level in range(1, len(layers)):
+            lo_idx >>= 1
+            hi_idx = (hi_idx + 1) >> 1
+            prev = layers[level - 1]
+            pairs = prev[2 * lo_idx:2 * hi_idx].reshape(hi_idx - lo_idx, 2, 4)
+            new_digests = ps.compress(pairs[:, 0], pairs[:, 1])
+            layers[level] = GF(
+                layers[level].lo.at[lo_idx:hi_idx].set(new_digests.lo),
+                layers[level].hi.at[lo_idx:hi_idx].set(new_digests.hi))
+        self.layers = tuple(layers)
+        for attr in ("_leaves_np", "_layers_np"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
 
 # ---------------------------------------------------------------------------
 # Oracle (python ints) — verification side & tests

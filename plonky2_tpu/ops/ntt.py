@@ -52,11 +52,43 @@ def stage_twiddles(lg_n: int, stage: int) -> GF:
 def _butterfly_stages(x: GF, lg_n: int, start_stage: int) -> GF:
     """Radix-2 DIT butterflies (input bit-reversed, output natural order).
 
-    Uniform-stage formulation under lax.scan: every stage is the same
-    [n]-shaped program (XOR-partner gather + twiddle gather + mul/add/sub
-    select), so the compiled graph is O(1) in lg_n instead of O(lg_n) —
-    compile time stays flat from 2^6 to 2^24.
+    Two formulations, picked by backend:
+    - TPU: per-stage static reshapes/slices (NO gathers — lane-crossing
+      gathers are slow on the VPU; a reshape view makes every butterfly a
+      contiguous vector op the compiler tiles onto (8,128) registers).
+    - CPU (tests): uniform-stage lax.scan (XOR-partner gather), O(1) graph
+      in lg_n — per-stage unrolled graphs trigger pathological XLA:CPU
+      compile times.
     """
+    if jax.default_backend() == "tpu":
+        return _butterfly_stages_reshaped(x, lg_n, start_stage)
+    return _butterfly_stages_scan(x, lg_n, start_stage)
+
+
+def _butterfly_stages_reshaped(x: GF, lg_n: int, start_stage: int) -> GF:
+    """Stage s (butterfly distance 2^s) as a reshape to
+    [..., n/2^{s+1}, 2, 2^s]: u' = u + w v, v' = u - w v with the stage's
+    twiddle row broadcast across blocks. All static shapes; XLA fuses the
+    limb arithmetic of each stage into one vectorized pass."""
+    n = x.shape[-1]
+    batch = x.shape[:-1]
+    for s in range(start_stage, lg_n):
+        m = 1 << (s + 1)
+        half = m >> 1
+        tw = stage_twiddles(lg_n, s)                     # GF [half]
+        xr = x.reshape(*batch, n // m, 2, half)
+        u = xr[..., 0, :]
+        v = xr[..., 1, :]
+        t = tw.broadcast_to(v.shape) * v
+        a = u + t
+        b = u - t
+        lo = jnp.stack([a.lo, b.lo], axis=-2)
+        hi = jnp.stack([a.hi, b.hi], axis=-2)
+        x = GF(lo, hi).reshape(*batch, n)
+    return x
+
+
+def _butterfly_stages_scan(x: GF, lg_n: int, start_stage: int) -> GF:
     n = x.shape[-1]
     if lg_n == start_stage:
         return x

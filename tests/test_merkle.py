@@ -54,3 +54,32 @@ def test_small_leaf_noop_hash():
     np.testing.assert_array_equal(
         tree.cap_u64(),
         np.array([[0, 1, 0, 0], [2, 3, 0, 0], [4, 5, 0, 0], [6, 7, 0, 0]]))
+
+
+def test_change_leaf_and_update():
+    """okx mutable-tree ops (reference: merkle_tree.rs:638-805)."""
+    import numpy as np
+
+    from plonky2_tpu.field import reference as ref
+    from plonky2_tpu.field.goldilocks import GF
+    from plonky2_tpu.hash.merkle import MerkleTree, merkle_root_oracle
+
+    rng = np.random.default_rng(9)
+    n, leaf_size, cap_h = 16, 7, 1
+    leaves = rng.integers(0, ref.ORDER, size=(n, leaf_size), dtype=np.uint64)
+    tree = MerkleTree(GF.from_u64(leaves), cap_h)
+
+    # single-leaf update
+    new_leaf = rng.integers(0, ref.ORDER, size=(leaf_size,), dtype=np.uint64)
+    leaves[5] = new_leaf
+    tree.change_leaf_and_update(GF.from_u64(new_leaf), 5)
+    cap, _ = merkle_root_oracle([[int(x) for x in l] for l in leaves], cap_h)
+    assert [[int(x) for x in h] for h in tree.cap_u64()] == cap
+
+    # range update crossing a subtree boundary
+    new_range = rng.integers(0, ref.ORDER, size=(6, leaf_size),
+                             dtype=np.uint64)
+    leaves[3:9] = new_range
+    tree.change_leaves_in_range_and_update(GF.from_u64(new_range), 3, 9)
+    cap, _ = merkle_root_oracle([[int(x) for x in l] for l in leaves], cap_h)
+    assert [[int(x) for x in h] for h in tree.cap_u64()] == cap
