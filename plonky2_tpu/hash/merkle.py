@@ -24,8 +24,13 @@ from . import poseidon as ps
 
 def build_layers(leaves: GF, cap_height: int):
     """Traceable tree builder: leaves [n, leaf_size] -> tuple of digest layers
-    (leaf-hash layer first, cap layer last). Composable inside larger jits."""
+    (leaf-hash layer first, cap layer last). Composable inside larger jits.
+
+    On TPU the whole tree runs in lanes layout ([elements, batch] — batch on
+    the 128-wide vector lanes) with a single transpose at each boundary."""
     lg_n = log2_strict(leaves.shape[0])
+    if jax.default_backend() == "tpu":
+        return _build_layers_lanes(leaves, lg_n, cap_height)
     layers = []
     layer = ps.hash_or_noop(leaves)  # [n, 4]
     layers.append(layer)
@@ -35,6 +40,18 @@ def build_layers(leaves: GF, cap_height: int):
         right = layer.reshape(m, 2, 4)[:, 1]
         layer = ps.compress(left, right)
         layers.append(layer)
+    return tuple(layers)
+
+
+def _build_layers_lanes(leaves: GF, lg_n: int, cap_height: int):
+    layers = []
+    layer = ps.hash_or_noop_lanes(leaves.transpose(1, 0))   # [4, n]
+    layers.append(layer.transpose(1, 0))
+    for _ in range(lg_n - cap_height):
+        left = layer[:, 0::2]
+        right = layer[:, 1::2]
+        layer = ps.compress_lanes(left, right)
+        layers.append(layer.transpose(1, 0))
     return tuple(layers)
 
 

@@ -193,13 +193,10 @@ def _sbox_mask() -> np.ndarray:
 
 
 @jax.jit
-def poseidon_permute(state: GF) -> GF:
-    """Batched Poseidon permutation; state shape [..., 12].
-
-    Rounds run under lax.scan (compile-friendly); partial rounds compute the
-    S-box on all lanes and mask, trading a little VPU work for a 30x smaller
-    XLA graph — results are bit-identical to the per-lane schedule.
-    """
+def _poseidon_permute_scan(state: GF) -> GF:
+    """Scan formulation (small O(1) graph — the XLA:CPU-friendly path).
+    Partial rounds compute the S-box on all lanes and mask; bit-identical to
+    the per-lane schedule."""
     assert state.shape[-1] == SPONGE_WIDTH
     rc = _round_constants()
     mask = jnp.asarray(_sbox_mask())
@@ -215,6 +212,155 @@ def poseidon_permute(state: GF) -> GF:
     (lo, hi), _ = jax.lax.scan(body, (state.lo, state.hi),
                                (rc.lo, rc.hi, mask))
     return GF(lo, hi)
+
+
+_FAST_TABLES_GF = None
+
+
+def _fast_tables_gf():
+    """Device copies of the fast-partial-round tables
+    (derived in poseidon_fast, reference: poseidon.rs:175-179)."""
+    global _FAST_TABLES_GF
+    if _FAST_TABLES_GF is None:
+        from .poseidon_fast import fast_partial_tables
+        first_rc, partial_rc, vs, w_hats, init_mat = fast_partial_tables()
+        # the last partial round adds no constant (poseidon_fast:220-222)
+        partial_rc = list(partial_rc)[:N_PARTIAL_ROUNDS - 1] + [0]
+        init_mat_t = np.asarray(init_mat, dtype=np.uint64).T  # [c][r] layout
+
+        def limbs(a):
+            arr = np.asarray(a, dtype=np.uint64)
+            return ((arr & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                    (arr >> np.uint64(32)).astype(np.uint32))
+
+        # cache HOST arrays only — jnp constants created under a jit trace
+        # are tracers and must not be cached globally
+        _FAST_TABLES_GF = tuple(
+            limbs(a) for a in (first_rc, partial_rc, vs, w_hats, init_mat_t))
+    return tuple(GF(jnp.asarray(lo), jnp.asarray(hi))
+                 for lo, hi in _FAST_TABLES_GF)
+
+
+@jax.jit
+def _poseidon_permute_lanes(state: GF) -> GF:
+    """TPU formulation: state transposed to [12, B] so the batch fills the
+    128-wide vector lanes, with the fast-partial-rounds factorization
+    (22 sparse layers instead of full MDS passes; reference:
+    poseidon.rs:368-520). Rounds run under lax.scan to keep the graph small.
+    Bit-identical to the scan path (tests cross-check both vs the oracle)."""
+    lead = state.shape[:-1]
+    st = state.reshape(-1, SPONGE_WIDTH).transpose(1, 0)   # [12, B]
+    st = permute_lanes(st)
+    return st.transpose(1, 0).reshape(*lead, SPONGE_WIDTH)
+
+
+def permute_lanes(st: GF) -> GF:
+    """Poseidon permutation in lanes layout: st [12, B] -> [12, B]."""
+    rc = _round_constants()                                 # [30, 12]
+    first_rc, partial_rc, vs, w_hats, init_mat = _fast_tables_gf()
+    B = st.shape[-1]
+
+    def full_round(carry, xs):
+        lo, hi = carry
+        rc_lo, rc_hi = xs
+        s = GF(lo, hi) + GF(rc_lo, rc_hi).reshape(SPONGE_WIDTH, 1) \
+            .broadcast_to((SPONGE_WIDTH, B))
+        s = _sbox_gf(s)
+        # MDS: out[r] = sum_i CIRC[i] * s[(r+i)%12] (+ DIAG[0] on row 0)
+        acc = None
+        for i in range(SPONGE_WIDTH):
+            rl = jnp.roll(s.lo, -i, axis=0)
+            rh = jnp.roll(s.hi, -i, axis=0)
+            term = _mul_small_96(MDS_MATRIX_CIRC[i], rl, rh)
+            acc = term if acc is None else _acc96(acc, term)
+        d2, d1, d0 = _mul_small_96(MDS_MATRIX_DIAG[0], s.lo[0:1], s.hi[0:1])
+        zeros = jnp.zeros_like(s.lo[1:])
+        pad = lambda x: jnp.concatenate([x, zeros], axis=0)
+        acc = _acc96(acc, (pad(d2), pad(d1), pad(d0)))
+        out = GF(*_reduce96(*acc))
+        return (out.lo, out.hi), None
+
+    (lo, hi), _ = jax.lax.scan(full_round, (st.lo, st.hi),
+                               (rc.lo[:HALF_N_FULL_ROUNDS],
+                                rc.hi[:HALF_N_FULL_ROUNDS]))
+    st = GF(lo, hi)
+
+    # partial rounds: first constant layer + init matrix (once), then 22
+    # sparse layers (reference: poseidon.rs partial_rounds fast path)
+    st = st + first_rc.reshape(SPONGE_WIDTH, 1).broadcast_to(st.shape)
+    rest = st[1:]                                            # [11, B]
+    prod = init_mat.reshape(11, 11, 1).broadcast_to((11, 11, B)) * \
+        rest.reshape(1, 11, B).broadcast_to((11, 11, B))
+    # out[c] = sum_r init_mat[r][c] * rest[r]  -> sum over axis 1 of [c, r, B]
+    new_rest = prod.sum(axis=1)                              # [11, B]
+    st = GF.concatenate([st[0:1], new_rest], axis=0)
+
+    mds0to0 = (MDS_MATRIX_CIRC[0] + MDS_MATRIX_DIAG[0]) % ref.ORDER
+
+    def partial_round(carry, xs):
+        lo, hi = carry
+        rc_lo, rc_hi, vs_lo, vs_hi, wh_lo, wh_hi = xs
+        s = GF(lo, hi)
+        s0 = _sbox_gf(s[0:1]) + GF(rc_lo, rc_hi).reshape(1, 1) \
+            .broadcast_to((1, B))
+        rest = s[1:]
+        wh = GF(wh_lo, wh_hi).reshape(11, 1).broadcast_to((11, B))
+        d = s0.mul_small(mds0to0) + (wh * rest).sum(axis=0).reshape(1, B)
+        v = GF(vs_lo, vs_hi).reshape(11, 1).broadcast_to((11, B))
+        new_rest = rest + v * s0.broadcast_to((11, B))
+        out = GF.concatenate([d, new_rest], axis=0)
+        return (out.lo, out.hi), None
+
+    (lo, hi), _ = jax.lax.scan(
+        partial_round, (st.lo, st.hi),
+        (partial_rc.lo, partial_rc.hi, vs.lo, vs.hi, w_hats.lo, w_hats.hi))
+    st = GF(lo, hi)
+
+    (lo, hi), _ = jax.lax.scan(full_round, (st.lo, st.hi),
+                               (rc.lo[-HALF_N_FULL_ROUNDS:],
+                                rc.hi[-HALF_N_FULL_ROUNDS:]))
+    return GF(lo, hi)
+
+
+def hash_no_pad_lanes(inputs: GF) -> GF:
+    """Sponge in lanes layout end-to-end: inputs [L, B] -> digests [4, B]
+    (no per-permutation transposes — the whole Merkle leaf pass stays in the
+    batch-fills-the-lanes layout)."""
+    L, B = inputs.shape
+    state = GF.zeros((SPONGE_WIDTH, B))
+    n_full, rem = divmod(L, SPONGE_RATE)
+    for k in range(n_full):
+        chunk = inputs[k * SPONGE_RATE:(k + 1) * SPONGE_RATE]
+        state = GF.concatenate([chunk, state[SPONGE_RATE:]], axis=0)
+        state = permute_lanes(state)
+    if rem:
+        chunk = inputs[n_full * SPONGE_RATE:]
+        state = GF.concatenate([chunk, state[rem:]], axis=0)
+        state = permute_lanes(state)
+    return state[:NUM_HASH_OUT_ELTS]
+
+
+def hash_or_noop_lanes(inputs: GF) -> GF:
+    L, B = inputs.shape
+    if L <= NUM_HASH_OUT_ELTS:
+        return GF.concatenate(
+            [inputs, GF.zeros((NUM_HASH_OUT_ELTS - L, B))], axis=0)
+    return hash_no_pad_lanes(inputs)
+
+
+def compress_lanes(x: GF, y: GF) -> GF:
+    """Two-to-one in lanes layout: [4, B] x [4, B] -> [4, B]."""
+    B = x.shape[-1]
+    cap = GF.zeros((SPONGE_WIDTH - 2 * NUM_HASH_OUT_ELTS, B))
+    state = GF.concatenate([x, y, cap], axis=0)
+    return permute_lanes(state)[:NUM_HASH_OUT_ELTS]
+
+
+def poseidon_permute(state: GF) -> GF:
+    """Batched Poseidon permutation; state shape [..., 12]."""
+    if jax.default_backend() == "tpu":
+        return _poseidon_permute_lanes(state)
+    return _poseidon_permute_scan(state)
 
 
 def hash_no_pad(inputs: GF) -> GF:
