@@ -266,18 +266,35 @@ def permute_lanes(st: GF) -> GF:
         s = GF(lo, hi) + GF(rc_lo, rc_hi).reshape(SPONGE_WIDTH, 1) \
             .broadcast_to((SPONGE_WIDTH, B))
         s = _sbox_gf(s)
-        # MDS: out[r] = sum_i CIRC[i] * s[(r+i)%12] (+ DIAG[0] on row 0)
-        acc = None
+        # MDS out[r] = sum_i CIRC[i]*s[(r+i)%12] (+ DIAG[0] on row 0), with
+        # the state split into 4 u16 limbs: the 6-bit MDS constants keep each
+        # limb accumulator under 2^26, so the whole circulant sum runs in
+        # plain u32 adds (one mul per limb per shift) and recombines to a
+        # single 96-bit value per row before one reduction.
+        limbs = (s.lo & 0xFFFF, s.lo >> 16, s.hi & 0xFFFF, s.hi >> 16)
+        accs = [None] * 4
         for i in range(SPONGE_WIDTH):
-            rl = jnp.roll(s.lo, -i, axis=0)
-            rh = jnp.roll(s.hi, -i, axis=0)
-            term = _mul_small_96(MDS_MATRIX_CIRC[i], rl, rh)
-            acc = term if acc is None else _acc96(acc, term)
-        d2, d1, d0 = _mul_small_96(MDS_MATRIX_DIAG[0], s.lo[0:1], s.hi[0:1])
-        zeros = jnp.zeros_like(s.lo[1:])
-        pad = lambda x: jnp.concatenate([x, zeros], axis=0)
-        acc = _acc96(acc, (pad(d2), pad(d1), pad(d0)))
-        out = GF(*_reduce96(*acc))
+            c = np.uint32(MDS_MATRIX_CIRC[i])
+            for k in range(4):
+                term = c * jnp.roll(limbs[k], -i, axis=0)
+                accs[k] = term if accs[k] is None else accs[k] + term
+        # DIAG = [8, 0, ...]: row 0 also gets 8 * s[0]
+        zeros = jnp.zeros_like(limbs[0][1:])
+        d = np.uint32(MDS_MATRIX_DIAG[0])
+        for k in range(4):
+            accs[k] = accs[k] + jnp.concatenate(
+                [d * limbs[k][0:1], zeros], axis=0)
+        # recombine: value = a0 + a1*2^16 + a2*2^32 + a3*2^48 (ai < 2^27)
+        a0, a1, a2, a3 = accs
+        t0 = (a1 & 0xFFFF) << 16
+        w0 = a0 + t0
+        c0 = (w0 < a0).astype(u32)
+        mid = (a1 >> 16) + a2 + c0
+        t1 = (a3 & 0xFFFF) << 16
+        w1 = mid + t1
+        c1 = (w1 < mid).astype(u32)
+        w2 = (a3 >> 16) + c1
+        out = GF(*_reduce96(w2, w1, w0))
         return (out.lo, out.hi), None
 
     (lo, hi), _ = jax.lax.scan(full_round, (st.lo, st.hi),
