@@ -46,6 +46,21 @@ class CommonCircuitData:
     k_is: list[int]
     num_partial_products: int
 
+    def same_shape(self, other: "CommonCircuitData") -> bool:
+        """Structural equality — gates compared by id (the reference derives
+        PartialEq on CommonCircuitData, circuit_data.rs:415)."""
+        return (self.config == other.config
+                and self.fri_params == other.fri_params
+                and [g.id() for g in self.gates] == [g.id()
+                                                     for g in other.gates]
+                and self.selectors_info == other.selectors_info
+                and self.quotient_degree_factor == other.quotient_degree_factor
+                and self.num_gate_constraints == other.num_gate_constraints
+                and self.num_constants == other.num_constants
+                and self.num_public_inputs == other.num_public_inputs
+                and self.k_is == other.k_is
+                and self.num_partial_products == other.num_partial_products)
+
     @property
     def degree_bits(self) -> int:
         return self.fri_params.degree_bits
@@ -159,3 +174,18 @@ class CircuitData:
     def verify(self, proof_with_pis) -> None:
         from .verifier import verify
         verify(proof_with_pis, self.verifier_only, self.common)
+
+    def compress(self, proof_with_pis):
+        """reference: circuit_data.rs:204-218."""
+        from .compressed_proof import compress_proof
+        return compress_proof(proof_with_pis,
+                              self.verifier_only.circuit_digest, self.common)
+
+    def decompress(self, compressed):
+        from .compressed_proof import decompress_proof
+        return decompress_proof(compressed,
+                                self.verifier_only.circuit_digest,
+                                self.common)
+
+    def verify_compressed(self, compressed) -> None:
+        self.verify(self.decompress(compressed))

@@ -202,3 +202,109 @@ def deserialize_verifier_data(data: bytes):
     cap = [buf.read_hash() for _ in range(n)]
     digest = buf.read_hash()
     return VerifierOnlyData(constants_sigmas_cap=cap, circuit_digest=digest)
+
+
+# ---------------------------------------------------------------------------
+# Compressed proofs (reference: serialization/mod.rs write_compressed_proof)
+# ---------------------------------------------------------------------------
+
+def serialize_compressed_proof_with_pis(cpwp, common) -> bytes:
+    from ..fri.compressed import CompressedFriProof, CompressedFriQueryRounds
+    buf = Buffer()
+    p = cpwp.proof
+    buf.write_cap(p.wires_cap)
+    buf.write_cap(p.plonk_zs_partial_products_cap)
+    buf.write_cap(p.quotient_polys_cap)
+    o = p.openings
+    for vec in (o.constants, o.plonk_sigmas, o.wires, o.plonk_zs,
+                o.plonk_zs_next, o.partial_products, o.quotient_polys):
+        buf.write_ext_vec(vec)
+    fp = p.opening_proof
+    for cap in fp.commit_phase_merkle_caps:
+        buf.write_cap([[int(x) for x in h] for h in cap])
+    qrp = fp.query_round_proofs
+    buf.write_usize(len(qrp.indices))
+    for i in qrp.indices:
+        buf.write_usize(i)
+    buf.write_usize(len(qrp.initial_trees_proofs))
+    for idx in sorted(qrp.initial_trees_proofs):
+        buf.write_usize(idx)
+        itp = qrp.initial_trees_proofs[idx]
+        for evals, sibs in itp.evals_proofs:
+            buf.write_field_vec([int(x) for x in evals])
+            buf.write_usize(len(sibs))
+            buf.write_cap([[int(x) for x in s] for s in sibs])
+    for level in qrp.steps:
+        buf.write_usize(len(level))
+        for idx in sorted(level):
+            buf.write_usize(idx)
+            step = level[idx]
+            buf.write_usize(len(step.evals))
+            buf.write_ext_vec(step.evals)
+            buf.write_usize(len(step.merkle_proof))
+            buf.write_cap([[int(x) for x in s] for s in step.merkle_proof])
+    buf.write_ext_vec(fp.final_poly)
+    buf.write_field(int(fp.pow_witness))
+    buf.write_field_vec(cpwp.public_inputs)
+    return buf.bytes()
+
+
+def deserialize_compressed_proof_with_pis(data: bytes, common):
+    from ..fri.compressed import CompressedFriProof, CompressedFriQueryRounds
+    from ..fri.proof import FriInitialTreeProof, FriQueryStep
+    from ..plonk.compressed_proof import (
+        CompressedProof, CompressedProofWithPublicInputs,
+    )
+    buf = Buffer(data)
+    ch = common.config.fri_config.cap_height
+    wires_cap = buf.read_cap(ch)
+    zs_pp_cap = buf.read_cap(ch)
+    quotient_cap = buf.read_cap(ch)
+    o = OpeningSet(
+        constants=buf.read_ext_vec(len(common.constants_range)),
+        plonk_sigmas=buf.read_ext_vec(len(common.sigmas_range)),
+        wires=buf.read_ext_vec(common.config.num_wires),
+        plonk_zs=buf.read_ext_vec(len(common.zs_range)),
+        plonk_zs_next=buf.read_ext_vec(len(common.zs_range)),
+        partial_products=buf.read_ext_vec(len(common.partial_products_range)),
+        quotient_polys=buf.read_ext_vec(common.num_quotient_polys),
+    )
+    fri_params = common.fri_params
+    caps = [buf.read_cap(ch) for _ in fri_params.reduction_arity_bits]
+    num_leaves = [common.num_preprocessed_polys, common.config.num_wires,
+                  common.num_zs_partial_products_polys,
+                  common.num_quotient_polys]
+    indices = [buf.read_usize() for _ in range(buf.read_usize())]
+    initial = {}
+    for _ in range(buf.read_usize()):
+        idx = buf.read_usize()
+        evals_proofs = []
+        for n_leaves in num_leaves:
+            evals = buf.read_field_vec(n_leaves)
+            n_sibs = buf.read_usize()
+            sibs = [buf.read_hash() for _ in range(n_sibs)]
+            evals_proofs.append((evals, sibs))
+        initial[idx] = FriInitialTreeProof(evals_proofs=evals_proofs)
+    steps = []
+    for _ in fri_params.reduction_arity_bits:
+        level = {}
+        for _ in range(buf.read_usize()):
+            idx = buf.read_usize()
+            evals = buf.read_ext_vec(buf.read_usize())
+            sibs = [buf.read_hash() for _ in range(buf.read_usize())]
+            level[idx] = FriQueryStep(evals=evals, merkle_proof=sibs)
+        steps.append(level)
+    final_poly = buf.read_ext_vec(fri_params.final_poly_len)
+    pow_witness = buf.read_field()
+    public_inputs = buf.read_field_vec(common.num_public_inputs)
+    return CompressedProofWithPublicInputs(
+        proof=CompressedProof(
+            wires_cap=wires_cap, plonk_zs_partial_products_cap=zs_pp_cap,
+            quotient_polys_cap=quotient_cap, openings=o,
+            opening_proof=CompressedFriProof(
+                commit_phase_merkle_caps=caps,
+                query_round_proofs=CompressedFriQueryRounds(
+                    indices=indices, initial_trees_proofs=initial,
+                    steps=steps),
+                final_poly=final_poly, pow_witness=pow_witness)),
+        public_inputs=public_inputs)
