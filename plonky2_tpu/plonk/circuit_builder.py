@@ -44,11 +44,12 @@ def _is_pow2(n):
 from ..ecdsa.biguint import BigUintGadgets
 from ..ecdsa.curve_gadgets import CurveGadgets
 from ..ecdsa.nonnative import NonNativeGadgets
+from ..ecgfp5.gadgets import Gfp5Gadgets
 
 
 class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
                      LookupGadgets, BigUintGadgets, NonNativeGadgets,
-                     CurveGadgets):
+                     CurveGadgets, Gfp5Gadgets):
     def __init__(self, config: CircuitConfig | None = None):
         self.config = config or CircuitConfig.standard_recursion_config()
         self.gate_instances: list[tuple[Gate, list[int]]] = []

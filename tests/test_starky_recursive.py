@@ -83,3 +83,28 @@ def test_recursive_stark_verifier_witness_satisfied():
     set_stark_proof_with_pis_target(pw, pt, proof)
     witness = generate_partial_witness(pw, outer.prover_only, outer.common)
     _check_all_rows(outer, witness)
+
+
+@pytest.mark.slow
+def test_recursive_stark_verifier_with_lookups():
+    """logUp lookup constraints inside the recursive verifier
+    (reference: permutation_stark.rs recursive test)."""
+    from plonky2_tpu.starky.permutation_stark import PermutationStark
+
+    num_rows = 1 << 5
+    config = StarkConfig.standard_fast_config()
+    stark = PermutationStark()
+    trace = stark.generate_trace(7, num_rows)
+    proof = prove(stark, config, trace, [7])
+    verify_stark_proof(stark, proof, config)
+
+    builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    pt = add_virtual_stark_proof_with_pis(builder, stark, config, 5)
+    verify_stark_proof_circuit(builder, stark, pt, config, 5)
+    builder.register_public_inputs(pt.public_inputs)
+    outer = builder.build()
+
+    pw = PartialWitness()
+    set_stark_proof_with_pis_target(pw, pt, proof)
+    witness = generate_partial_witness(pw, outer.prover_only, outer.common)
+    _check_all_rows(outer, witness)
