@@ -53,7 +53,21 @@ def _sbox(x: int) -> int:
 
 
 def poseidon_oracle(state: list[int]) -> list[int]:
-    """The width-12 Poseidon permutation on python ints."""
+    """The width-12 Poseidon permutation on host ints.
+
+    Dispatches to the native C library (plonky2_tpu/native — the runtime's
+    native component, replacing the reference's AVX2/NEON host permutation)
+    with a pure-python fallback; `poseidon_oracle_py` is the reference
+    implementation both are tested against."""
+    from ..native import permute as native_permute
+    out = native_permute([x % ref.ORDER for x in state])
+    if out is not None:
+        return out
+    return poseidon_oracle_py(state)
+
+
+def poseidon_oracle_py(state: list[int]) -> list[int]:
+    """Pure-python reference permutation."""
     assert len(state) == SPONGE_WIDTH
     s = [x % ref.ORDER for x in state]
     rc = 0

@@ -80,3 +80,20 @@ def test_hash_or_noop():
     small = GF.from_u64(np.array([[5, 6]], dtype=np.uint64))
     out = ps.hash_or_noop(small).to_u64()
     np.testing.assert_array_equal(out, [[5, 6, 0, 0]])
+
+
+def test_native_host_permutation_matches_python():
+    """The C host library (plonky2_tpu/native) must be bit-identical to the
+    python reference permutation."""
+    import random
+
+    from plonky2_tpu.hash.poseidon import poseidon_oracle_py
+    from plonky2_tpu.native import permute
+
+    rng = random.Random(77)
+    if permute([0] * 12) is None:
+        import pytest
+        pytest.skip("no C compiler available")
+    for _ in range(10):
+        st = [rng.randrange(2**64 - 2**32 + 1) for _ in range(12)]
+        assert permute(st) == poseidon_oracle_py(st)
