@@ -101,7 +101,7 @@ def compress_fri_proof(proof: FriProof, indices, params: FriParams
 
 def decompress_fri_proof(compressed: CompressedFriProof,
                          fri_query_indices, fri_inferred_elements,
-                         params: FriParams) -> FriProof:
+                         params: FriParams, hasher=None) -> FriProof:
     """reference: fri/proof.rs:238-362."""
     cap_height = params.config.cap_height
     rab = params.reduction_arity_bits
@@ -145,10 +145,11 @@ def decompress_fri_proof(compressed: CompressedFriProof,
             st_evals[i].append(evals)
             st_proofs[i].append(step.merkle_proof)
 
-    it_proofs = [decompress_merkle_proofs(ls, idxs, ps, height, cap_height)
+    it_proofs = [decompress_merkle_proofs(ls, idxs, ps, height, cap_height,
+                                          hasher)
                  for ls, idxs, ps in zip(it_leaves, it_indices, it_proofs)]
     st_proofs = [decompress_merkle_proofs(
-        [_flatten_ext(e) for e in evs], idxs, ps, hh, cap_height)
+        [_flatten_ext(e) for e in evs], idxs, ps, hh, cap_height, hasher)
         for evs, idxs, ps, hh in zip(st_evals, st_indices, st_proofs, heights)]
 
     rounds = []

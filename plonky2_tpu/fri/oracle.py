@@ -39,9 +39,12 @@ SALT_SIZE = 4
 
 @lru_cache(maxsize=None)
 def _commit_fn(num_polys: int, lg_n: int, rate_bits: int, cap_height: int,
-               salt_size: int):
+               salt_size: int, hasher_name: str = "poseidon"):
     """Jitted commit pipeline: coeffs [num, n] (+ salt [salt, N]) ->
-    (leaves [N, num+salt], merkle layers)."""
+    (leaves [N, num+salt], merkle layers). For host-only hashers the device
+    program stops at the leaves and Merkle layers build on host."""
+    from ..hash.hashers import HASHERS_BY_NAME
+    hasher = HASHERS_BY_NAME[hasher_name]
     n = 1 << lg_n
     N = n << rate_bits
     rev = jnp.asarray(reverse_index_bits_perm(N))
@@ -52,7 +55,9 @@ def _commit_fn(num_polys: int, lg_n: int, rate_bits: int, cap_height: int,
             lde = GF.concatenate([lde, salt], axis=0)
         leaves = lde.transpose(1, 0)                 # [N, num+salt]
         leaves = leaves.take(rev, axis=0)            # bit-reversed row order
-        layers = build_layers(leaves, cap_height)
+        if not hasher.device:
+            return leaves, None
+        layers = build_layers(leaves, cap_height, hasher)
         return leaves, layers
 
     return jax.jit(commit)
@@ -76,15 +81,17 @@ class PolynomialBatch:
 
     @staticmethod
     def from_values(values: GF, rate_bits: int, blinding: bool,
-                    cap_height: int) -> "PolynomialBatch":
+                    cap_height: int, hasher=None) -> "PolynomialBatch":
         num, n = values.shape
         coeffs = _ifft_fn(num, log2_strict(n))(values)
         return PolynomialBatch.from_coeffs(coeffs, rate_bits, blinding,
-                                           cap_height)
+                                           cap_height, hasher)
 
     @staticmethod
     def from_coeffs(coeffs: GF, rate_bits: int, blinding: bool,
-                    cap_height: int) -> "PolynomialBatch":
+                    cap_height: int, hasher=None) -> "PolynomialBatch":
+        from ..hash.hashers import POSEIDON
+        hasher = hasher or POSEIDON
         num, n = coeffs.shape
         lg_n = log2_strict(n)
         salt_size = SALT_SIZE if blinding else 0
@@ -96,8 +103,8 @@ class PolynomialBatch:
         else:
             salt = GF.zeros((0, n << rate_bits))
         leaves, layers = _commit_fn(num, lg_n, rate_bits, cap_height,
-                                    salt_size)(coeffs, salt)
-        tree = MerkleTree(leaves, cap_height, layers=layers)
+                                    salt_size, hasher.name)(coeffs, salt)
+        tree = MerkleTree(leaves, cap_height, layers=layers, hasher=hasher)
         return PolynomialBatch(coeffs, tree, lg_n, rate_bits, blinding)
 
     @property

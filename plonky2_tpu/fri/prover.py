@@ -61,13 +61,14 @@ def fri_committed_trees(coeffs: GF2, values: GF2, challenger: Challenger,
     trees = []
     shift = ref.MULTIPLICATIVE_GROUP_GENERATOR
     cap_height = fri_params.config.cap_height
+    hasher = challenger.hasher
     for arity_bits in fri_params.reduction_arity_bits:
         arity = 1 << arity_bits
         n = values.shape[-1]
         brv = values.take(jnp.asarray(reverse_index_bits_perm(n)), axis=-1)
         leaves = _flatten_ext_leaves(brv, arity)
-        tree = MerkleTree(leaves, cap_height)
-        challenger.observe_cap(tree.cap_u64())
+        tree = MerkleTree(leaves, cap_height, hasher=hasher)
+        challenger.observe_cap(tree.cap_digests())
         trees.append(tree)
 
         beta = challenger.get_extension_challenge()
@@ -88,8 +89,11 @@ def fri_committed_trees(coeffs: GF2, values: GF2, challenger: Challenger,
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def _pow_wave_fn(witness_pos: int, pow_bits: int, batch: int):
+def _pow_wave_fn(witness_pos: int, pow_bits: int, batch: int,
+                 hasher_name: str = "poseidon"):
     assert 1 <= pow_bits < 64
+    from ..hash.hashers import HASHERS_BY_NAME
+    permute_dev = HASHERS_BY_NAME[hasher_name].permute_dev
     threshold = 1 << (64 - pow_bits)
     thresh_hi = np.uint32(threshold >> 32)
     thresh_lo = np.uint32(threshold & 0xFFFFFFFF)
@@ -99,7 +103,7 @@ def _pow_wave_fn(witness_pos: int, pow_bits: int, batch: int):
         st = state.reshape(1, 12).broadcast_to((batch, 12))
         lo = st.lo.at[:, witness_pos].set(cand_lo)
         hi = st.hi.at[:, witness_pos].set(cand_hi)
-        out = ps.poseidon_permute(GF(lo, hi))
+        out = permute_dev(GF(lo, hi))
         r_lo, r_hi = out.lo[:, ps.SPONGE_RATE - 1], out.hi[:, ps.SPONGE_RATE - 1]
         ok = (r_hi < thresh_hi) | ((r_hi == thresh_hi) & (r_lo < thresh_lo))
         idx = jnp.argmax(ok)
@@ -111,7 +115,9 @@ def _pow_wave_fn(witness_pos: int, pow_bits: int, batch: int):
 def fri_proof_of_work(challenger: Challenger, pow_bits: int,
                       batch: int | None = None) -> int:
     """Vectorized grind: find witness w such that the duplex response (the
-    last squeezed element) has >= pow_bits leading zeros."""
+    last squeezed element) has >= pow_bits leading zeros. Device wave for
+    Poseidon-family permutations, numpy wave for Keccak, scalar fallback for
+    host-only permutations (PoseidonBN128)."""
     if batch is None:
         if jax.default_backend() == "cpu":
             # small waves: a 1-core CPU pays real time per candidate
@@ -123,24 +129,58 @@ def fri_proof_of_work(challenger: Challenger, pow_bits: int,
     witness_pos = len(challenger.input_buffer)
     for i, x in enumerate(challenger.input_buffer):
         state[i] = x
-    gf_state = GF.from_u64(np.array(state, dtype=np.uint64))
-    wave_fn = _pow_wave_fn(witness_pos, pow_bits, batch)
 
-    start = 0
-    while True:
-        cands = start + np.arange(batch, dtype=np.uint64)
-        c = GF.from_u64(cands)
-        idx, found = wave_fn(gf_state, c.lo, c.hi)
-        if bool(found):
-            witness = start + int(idx)
-            break
-        start += batch
-        assert start < (1 << 40), "PoW grind failed (astronomically unlikely)"
+    hasher = challenger.hasher
+    threshold = 1 << (64 - pow_bits)
+    if hasher is not None and getattr(hasher, "permute_dev", None) is None:
+        witness = _pow_grind_host(hasher, state, witness_pos, threshold,
+                                  batch)
+    else:
+        hasher_name = hasher.name if hasher is not None else "poseidon"
+        gf_state = GF.from_u64(np.array(state, dtype=np.uint64))
+        wave_fn = _pow_wave_fn(witness_pos, pow_bits, batch, hasher_name)
+        start = 0
+        while True:
+            cands = start + np.arange(batch, dtype=np.uint64)
+            c = GF.from_u64(cands)
+            idx, found = wave_fn(gf_state, c.lo, c.hi)
+            if bool(found):
+                witness = start + int(idx)
+                break
+            start += batch
+            assert start < (1 << 40), \
+                "PoW grind failed (astronomically unlikely)"
 
     challenger.observe_element(witness)
     response = challenger.get_challenge()
     assert response < (1 << (64 - pow_bits))
     return witness
+
+
+def _pow_grind_host(hasher, state: list[int], witness_pos: int,
+                    threshold: int, batch: int) -> int:
+    """Host grind: batched numpy permutation when the hasher provides one
+    (Keccak), else scalar."""
+    permute_batch = getattr(hasher, "permute_batch_np", None)
+    start = 0
+    while True:
+        if permute_batch is not None:
+            states = np.tile(np.array(state, dtype=np.uint64), (batch, 1))
+            states[:, witness_pos] = start + np.arange(batch, dtype=np.uint64)
+            out = permute_batch(states)
+            ok = out[:, ps.SPONGE_RATE - 1] < np.uint64(threshold)
+            hits = np.nonzero(ok)[0]
+            if len(hits):
+                return start + int(hits[0])
+            start += batch
+        else:
+            for w in range(start, start + batch):
+                s = list(state)
+                s[witness_pos] = w
+                if hasher.permute_oracle(s)[ps.SPONGE_RATE - 1] < threshold:
+                    return w
+            start += batch
+        assert start < (1 << 40), "PoW grind failed (astronomically unlikely)"
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +230,7 @@ def fri_proof(initial_merkle_trees, lde_polynomial_coeffs: GF2,
         initial_merkle_trees, trees, challenger, n, fri_params)
 
     return FriProof(
-        commit_phase_merkle_caps=[t.cap_u64() for t in trees],
+        commit_phase_merkle_caps=[t.cap_digests() for t in trees],
         query_round_proofs=query_rounds,
         final_poly=final_coeffs,
         pow_witness=pow_witness,

@@ -32,7 +32,8 @@ def fri_verify_proof_of_work(pow_response: int, pow_bits: int) -> None:
 
 def verify_fri_proof(instance: FriInstanceInfo, openings: FriOpenings,
                      challenges: FriChallenges, initial_merkle_caps,
-                     proof: FriProof, params: FriParams) -> None:
+                     proof: FriProof, params: FriParams,
+                     hasher=None) -> None:
     n = params.lde_size
     fri_verify_proof_of_work(challenges.fri_pow_response,
                              params.config.proof_of_work_bits)
@@ -47,7 +48,7 @@ def verify_fri_proof(instance: FriInstanceInfo, openings: FriOpenings,
                                     proof.query_round_proofs):
         _verify_query_round(instance, challenges, reduced_openings,
                             initial_merkle_caps, proof, x_index, n,
-                            round_proof, params)
+                            round_proof, params, hasher)
 
 
 def fri_combine_initial(instance: FriInstanceInfo, initial_proof,
@@ -104,14 +105,13 @@ def compute_evaluation(x: int, x_index_within_coset: int, arity_bits: int,
 
 def _verify_query_round(instance, challenges, reduced_openings,
                         initial_merkle_caps, proof, x_index, n,
-                        round_proof, params: FriParams) -> None:
+                        round_proof, params: FriParams, hasher=None) -> None:
     # initial tree proofs
     for (evals, merkle_proof), cap in zip(
             round_proof.initial_trees_proof.evals_proofs, initial_merkle_caps):
         ok = verify_merkle_proof_oracle(
-            [int(v) for v in evals], x_index,
-            [[int(x) for x in h] for h in cap],
-            [[int(x) for x in sib] for sib in merkle_proof])
+            [int(v) for v in evals], x_index, list(cap),
+            list(merkle_proof), hasher)
         assert ok, "initial Merkle proof failed"
 
     log_n = log2_strict(n)
@@ -136,9 +136,8 @@ def _verify_query_round(instance, challenges, reduced_openings,
             challenges.fri_betas[i])
         flat = [c for e in evals for c in e]
         ok = verify_merkle_proof_oracle(
-            flat, coset_index,
-            [[int(x) for x in h] for h in proof.commit_phase_merkle_caps[i]],
-            [[int(x) for x in sib] for sib in round_proof.steps[i].merkle_proof])
+            flat, coset_index, list(proof.commit_phase_merkle_caps[i]),
+            list(round_proof.steps[i].merkle_proof), hasher)
         assert ok, f"commit-phase Merkle proof failed at layer {i}"
 
         subgroup_x = ref.exp(subgroup_x, arity)

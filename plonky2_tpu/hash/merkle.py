@@ -22,63 +22,105 @@ from ..utils.bits import log2_strict
 from . import poseidon as ps
 
 
-def build_layers(leaves: GF, cap_height: int):
+def build_layers(leaves: GF, cap_height: int, hasher=None):
     """Traceable tree builder: leaves [n, leaf_size] -> tuple of digest layers
     (leaf-hash layer first, cap layer last). Composable inside larger jits.
+    Only for device hashers (hasher.device); byte-digest hashers build on
+    host via MerkleTree.
 
     On TPU the whole tree runs in lanes layout ([elements, batch] — batch on
     the 128-wide vector lanes) with a single transpose at each boundary."""
+    if hasher is None:
+        from .hashers import POSEIDON
+        hasher = POSEIDON
     lg_n = log2_strict(leaves.shape[0])
-    if jax.default_backend() == "tpu":
-        return _build_layers_lanes(leaves, lg_n, cap_height)
+    if (jax.default_backend() == "tpu"
+            and getattr(hasher, "hash_or_noop_lanes", None) is not None):
+        return _build_layers_lanes(leaves, lg_n, cap_height, hasher)
     layers = []
-    layer = ps.hash_or_noop(leaves)  # [n, 4]
+    layer = hasher.hash_or_noop_dev(leaves)  # [n, 4]
     layers.append(layer)
     for _ in range(lg_n - cap_height):
         m = layer.shape[0] // 2
         left = layer.reshape(m, 2, 4)[:, 0]
         right = layer.reshape(m, 2, 4)[:, 1]
-        layer = ps.compress(left, right)
+        layer = hasher.compress_dev(left, right)
         layers.append(layer)
     return tuple(layers)
 
 
-def _build_layers_lanes(leaves: GF, lg_n: int, cap_height: int):
+def _build_layers_lanes(leaves: GF, lg_n: int, cap_height: int, hasher):
     layers = []
-    layer = ps.hash_or_noop_lanes(leaves.transpose(1, 0))   # [4, n]
+    layer = hasher.hash_or_noop_lanes(leaves.transpose(1, 0))   # [4, n]
     layers.append(layer.transpose(1, 0))
     for _ in range(lg_n - cap_height):
         left = layer[:, 0::2]
         right = layer[:, 1::2]
-        layer = ps.compress_lanes(left, right)
+        layer = hasher.compress_lanes(left, right)
         layers.append(layer.transpose(1, 0))
     return tuple(layers)
 
 
 @lru_cache(maxsize=None)
-def _build_fn(lg_n: int, leaf_size: int, cap_height: int):
-    return jax.jit(partial(build_layers, cap_height=cap_height))
+def _build_fn(lg_n: int, leaf_size: int, cap_height: int,
+              hasher_name: str = "poseidon"):
+    from .hashers import HASHERS_BY_NAME
+    hasher = HASHERS_BY_NAME[hasher_name]
+    return jax.jit(partial(build_layers, cap_height=cap_height,
+                           hasher=hasher))
 
 
 class MerkleTree:
-    """leaves: GF [n, leaf_size]; digests kept layer-per-array on device."""
+    """leaves: GF [n, leaf_size]. For device hashers (Poseidon family) the
+    digest layers live on device; byte-digest hashers (Keccak) and host-only
+    hashers (PoseidonBN128) build numpy layers on host — they exist for
+    cheap external verification, not for the device hot path."""
 
-    def __init__(self, leaves: GF, cap_height: int = 0, layers=None):
+    def __init__(self, leaves: GF, cap_height: int = 0, layers=None,
+                 hasher=None):
+        if hasher is None:
+            from .hashers import POSEIDON
+            hasher = POSEIDON
         n, leaf_size = leaves.shape
         self.lg_n = log2_strict(n)
         assert cap_height <= self.lg_n
         self.cap_height = cap_height
         self.leaves = leaves
-        self.layers = (layers if layers is not None
-                       else _build_fn(self.lg_n, leaf_size, cap_height)(leaves))
+        self.hasher = hasher
+        if layers is not None:
+            self.layers = layers
+        elif hasher.device:
+            self.layers = _build_fn(self.lg_n, leaf_size, cap_height,
+                                    hasher.name)(leaves)
+        else:
+            self.layers = None
+            self._layers_np = self._build_host_layers()
+
+    def _build_host_layers(self):
+        h = self.hasher
+        layer = h.hash_leaves_np(self.leaves_host())
+        layers = [layer]
+        for _ in range(self.lg_n - self.cap_height):
+            layer = h.compress_np(layer[0::2], layer[1::2])
+            layers.append(layer)
+        return layers
 
     @property
-    def cap(self) -> GF:
-        """GF [2^cap_height, 4]."""
-        return self.layers[-1]
+    def cap(self):
+        """Device: GF [2^cap_height, 4]; host hashers: numpy array."""
+        if self.layers is not None:
+            return self.layers[-1]
+        return self._layers_np[-1]
 
     def cap_u64(self) -> np.ndarray:
-        return self.cap.to_u64()
+        if self.layers is not None:
+            return self.cap.to_u64()
+        return self._layers_np[-1]
+
+    def cap_digests(self) -> list:
+        """Cap as host digests (tuples of 4 ints, or 25-byte bytes)."""
+        return [self.hasher.digest_from_row(row)
+                for row in self._layers_host()[-1]]
 
     def leaves_host(self) -> np.ndarray:
         if not hasattr(self, "_leaves_np"):
@@ -123,6 +165,8 @@ class MerkleTree:
         (reference: merkle_tree.rs change_leaves_in_range_and_update:699-805).
         The touched index window shrinks by half per layer, so total work is
         O((end-start) + log n) batched hashes."""
+        assert self.hasher.name == "poseidon", \
+            "mutable-tree ops are implemented for the Poseidon device hasher"
         assert 0 <= start < end <= self.leaves.shape[0]
         assert new_leaves.shape == (end - start, self.leaves.shape[1])
         idx = jnp.arange(start, end)
@@ -152,29 +196,42 @@ class MerkleTree:
 # Oracle (python ints) — verification side & tests
 # ---------------------------------------------------------------------------
 
-def merkle_root_oracle(leaves: list[list[int]], cap_height: int = 0):
-    """Returns (cap, all_layers) with python ints."""
+def merkle_root_oracle(leaves: list[list[int]], cap_height: int = 0,
+                       hasher=None):
+    """Returns (cap, all_layers) with host digests."""
+    if hasher is None:
+        from .hashers import POSEIDON
+        hasher = POSEIDON
     n = len(leaves)
     lg_n = log2_strict(n)
-    layer = [ps.hash_or_noop_oracle(l) for l in leaves]
+    layer = [hasher.hash_or_noop_oracle(l) for l in leaves]
     layers = [layer]
     for _ in range(lg_n - cap_height):
-        layer = [ps.compress_oracle(layer[2 * i], layer[2 * i + 1])
+        layer = [hasher.two_to_one_oracle(layer[2 * i], layer[2 * i + 1])
                  for i in range(len(layer) // 2)]
         layers.append(layer)
     return layer, layers
 
 
 def verify_merkle_proof_oracle(leaf: list[int], leaf_index: int,
-                               cap: list[list[int]],
-                               proof: list[list[int]]) -> bool:
-    """Matches verify_merkle_proof_to_cap (reference: merkle_proofs.rs:42-80)."""
-    digest = ps.hash_or_noop_oracle(leaf)
+                               cap, proof, hasher=None) -> bool:
+    """Matches verify_merkle_proof_to_cap (reference: merkle_proofs.rs:42-80).
+    `cap`/`proof` rows may be host digests or numpy digest rows."""
+    if hasher is None:
+        from .hashers import POSEIDON
+        hasher = POSEIDON
+    digest = hasher.hash_or_noop_oracle(leaf)
     idx = leaf_index
     for sibling in proof:
+        sib = hasher.digest_from_row(sibling) \
+            if not isinstance(sibling, (bytes, tuple)) else sibling
         if idx & 1:
-            digest = ps.compress_oracle(sibling, digest)
+            digest = hasher.two_to_one_oracle(sib, digest)
         else:
-            digest = ps.compress_oracle(digest, sibling)
+            digest = hasher.two_to_one_oracle(digest, sib)
         idx >>= 1
-    return digest == list(cap[idx])
+    expected = cap[idx]
+    if not isinstance(expected, (bytes, tuple)):
+        expected = hasher.digest_from_row(expected) \
+            if hasattr(expected, "dtype") else tuple(int(x) for x in expected)
+    return digest == expected

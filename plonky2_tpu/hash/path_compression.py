@@ -9,7 +9,6 @@ compression is a proof-size optimization, not a compute path).
 
 from __future__ import annotations
 
-from . import poseidon as ps
 
 
 def compress_merkle_proofs(cap_height: int, indices, proofs):
@@ -28,7 +27,8 @@ def compress_merkle_proofs(cap_height: int, indices, proofs):
         for sibling in p:
             sibling_index = index ^ 1
             if not known[sibling_index]:
-                out.append([int(x) for x in sibling])
+                out.append(sibling if isinstance(sibling, (bytes, tuple))
+                           else [int(x) for x in sibling])
                 known[sibling_index] = True
             index >>= 1
             known[index] = True
@@ -37,13 +37,22 @@ def compress_merkle_proofs(cap_height: int, indices, proofs):
 
 
 def decompress_merkle_proofs(leaves_data, leaves_indices, compressed_proofs,
-                             height: int, cap_height: int):
+                             height: int, cap_height: int, hasher=None):
     """Reconstruct full Merkle paths; leaves/indices must be in the same
     order as compression."""
+    if hasher is None:
+        from .hashers import POSEIDON
+        hasher = POSEIDON
     num_leaves = 1 << height
-    seen: dict[int, list[int]] = {}
+    seen: dict[int, object] = {}
     for i, v in zip(leaves_indices, leaves_data):
-        seen[i + num_leaves] = ps.hash_or_noop_oracle([int(x) for x in v])
+        seen[i + num_leaves] = hasher.hash_or_noop_oracle(
+            [int(x) for x in v])
+
+    def as_digest(d):
+        if isinstance(d, (bytes, tuple)):
+            return d
+        return hasher.digest_from_row(d)
 
     iters = [iter(p) for p in compressed_proofs]
     for layer in range(height - cap_height):
@@ -52,10 +61,11 @@ def decompress_merkle_proofs(leaves_data, leaves_indices, compressed_proofs,
             current = seen[index]
             sibling_index = index ^ 1
             if sibling_index not in seen:
-                seen[sibling_index] = [int(x) for x in next(it)]
+                seen[sibling_index] = as_digest(next(it))
             sibling = seen[sibling_index]
-            parent = (ps.compress_oracle(current, sibling) if index % 2 == 0
-                      else ps.compress_oracle(sibling, current))
+            parent = (hasher.two_to_one_oracle(current, sibling)
+                      if index % 2 == 0
+                      else hasher.two_to_one_oracle(sibling, current))
             seen[index >> 1] = parent
 
     decompressed = []

@@ -20,7 +20,14 @@ from ..hash.poseidon import (
 
 
 class Challenger:
-    def __init__(self):
+    """Generic over the config's Hasher permutation
+    (reference: prover.rs:178 `Challenger::<F, C::Hasher>`); defaults to
+    Poseidon. Pass a Hasher (hash/hashers.py) for other configs."""
+
+    def __init__(self, hasher=None):
+        self.hasher = hasher
+        self._permute = (poseidon_oracle if hasher is None
+                         else hasher.permute_oracle)
         self.sponge_state: list[int] = [0] * SPONGE_WIDTH
         self.input_buffer: list[int] = []
         self.output_buffer: list[int] = []
@@ -43,10 +50,17 @@ class Challenger:
             self.observe_extension_element(x)
 
     def observe_hash(self, h) -> None:
-        self.observe_elements(h)
+        """Observe a digest as its field-element decomposition
+        (GenericHashOut::to_vec — HashOut: the 4 elements; BytesHash:
+        7-byte LE chunks, reference: hash_types.rs:109,182-192)."""
+        if isinstance(h, (bytes, bytearray)):
+            from ..hash.hashers import digest_to_elements
+            self.observe_elements(digest_to_elements(h))
+        else:
+            self.observe_elements(h)
 
     def observe_cap(self, cap) -> None:
-        """cap: iterable of 4-element digests."""
+        """cap: iterable of digests (4-element rows or byte digests)."""
         for h in cap:
             self.observe_hash(h)
 
@@ -73,7 +87,7 @@ class Challenger:
         for i, x in enumerate(self.input_buffer):
             self.sponge_state[i] = x
         self.input_buffer.clear()
-        self.sponge_state = poseidon_oracle(self.sponge_state)
+        self.sponge_state = self._permute(self.sponge_state)
         self.output_buffer = list(self.sponge_state[:SPONGE_RATE])
 
     def compact(self) -> list[int]:

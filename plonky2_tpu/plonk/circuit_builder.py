@@ -67,6 +67,8 @@ class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
         # cyclic recursion state (reference: circuit_builder.rs:196-200)
         self.verifier_data_public_input = None
         self.goal_common_data = None
+        # reference: circuit_builder.rs:260-263 set_domain_separator
+        self.domain_separator: list[int] | None = None
 
     # -- targets --------------------------------------------------------------
     def add_virtual_target(self):
@@ -316,7 +318,8 @@ class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
                 and len(self.gate_instances) < (1 << min_degree_bits)):
             self.add_gate(NoopGate(), [])
 
-    def build(self, min_degree_bits: int | None = None) -> CircuitData:
+    def build(self, min_degree_bits: int | None = None,
+              gc=None) -> CircuitData:
         config = self.config
         rate_bits = config.fri_config.rate_bits
         cap_height = config.fri_config.cap_height
@@ -383,8 +386,12 @@ class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
         sigma_vecs = forest.sigma_vecs(k_is, subgroup)
 
         constants_sigmas = np.concatenate([constant_vecs, sigma_vecs], axis=0)
+        if gc is None:
+            from ..hash.hashers import PoseidonGoldilocksConfig
+            gc = PoseidonGoldilocksConfig
         constants_sigmas_commitment = PolynomialBatch.from_values(
-            GF.from_u64(constants_sigmas), rate_bits, False, cap_height)
+            GF.from_u64(constants_sigmas), rate_bits, False, cap_height,
+            hasher=gc.hasher)
 
         # generators: per gate instance, dropping unused batched-op slots
         incomplete = {}
@@ -402,15 +409,17 @@ class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
         num_partial_products = _num_partial_products(
             config.num_routed_wires, quotient_degree_factor)
 
-        cap_u64 = constants_sigmas_commitment.merkle_tree.cap_u64()
-        # circuit digest (reference: circuit_builder.rs:1200-1212); the empty
-        # domain separator is hash_pad([]) = hash_no_pad([1,0,...,0,1])
-        # (reference: plonk/config.rs:63-71).
-        pad = [1] + [0] * (SPONGE_RATE - 2) + [1]
-        domain_separator_digest = hash_no_pad_oracle(pad)
-        digest_inputs = ([int(x) for h in cap_u64 for x in h]
-                         + domain_separator_digest + [degree_bits])
-        circuit_digest = hash_no_pad_oracle(digest_inputs)
+        cap_digests = constants_sigmas_commitment.merkle_tree.cap_digests()
+        # circuit digest over C::Hasher (reference: circuit_builder.rs:
+        # 1200-1212): hash(cap.flatten() || hash_pad(domain_separator).to_vec()
+        # || degree_bits); caps flatten via GenericHashOut::to_vec.
+        from ..hash.hashers import digest_to_elements
+        domain_separator_digest = gc.hasher.hash_pad_oracle(
+            list(self.domain_separator or []))
+        digest_inputs = (
+            [x for d in cap_digests for x in digest_to_elements(d)]
+            + digest_to_elements(domain_separator_digest) + [degree_bits])
+        circuit_digest = gc.hasher.hash_no_pad_oracle(digest_inputs)
 
         common = CommonCircuitData(
             config=config,
@@ -423,6 +432,7 @@ class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
             num_public_inputs=num_public_inputs,
             k_is=k_is,
             num_partial_products=num_partial_products,
+            gc=gc,
         )
         if self.goal_common_data is not None:
             assert common.same_shape(self.goal_common_data), \
@@ -438,7 +448,7 @@ class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
             circuit_digest=circuit_digest,
         )
         verifier_only = VerifierOnlyData(
-            constants_sigmas_cap=[[int(x) for x in h] for h in cap_u64],
+            constants_sigmas_cap=cap_digests,
             circuit_digest=circuit_digest,
         )
         return CircuitData(prover_only, verifier_only, common)

@@ -45,12 +45,21 @@ class CommonCircuitData:
     num_public_inputs: int
     k_is: list[int]
     num_partial_products: int
+    # hashing configuration (reference: the C type parameter of
+    # CircuitData<F, C, D>, plonk/config.rs:115-208)
+    gc: "GenericConfig" = None
+
+    def __post_init__(self):
+        if self.gc is None:
+            from ..hash.hashers import PoseidonGoldilocksConfig
+            self.gc = PoseidonGoldilocksConfig
 
     def same_shape(self, other: "CommonCircuitData") -> bool:
         """Structural equality — gates compared by id (the reference derives
         PartialEq on CommonCircuitData, circuit_data.rs:415)."""
         return (self.config == other.config
                 and self.fri_params == other.fri_params
+                and self.gc.name == other.gc.name
                 and [g.id() for g in self.gates] == [g.id()
                                                      for g in other.gates]
                 and self.selectors_info == other.selectors_info
@@ -189,3 +198,55 @@ class CircuitData:
 
     def verify_compressed(self, compressed) -> None:
         self.verify(self.decompress(compressed))
+
+    # splits (reference: circuit_data.rs:232-249 prover_data/verifier_data)
+    def prover_data(self) -> "ProverCircuitData":
+        return ProverCircuitData(prover_only=self.prover_only,
+                                 common=self.common)
+
+    def verifier_data(self) -> "VerifierCircuitData":
+        return VerifierCircuitData(verifier_only=self.verifier_only,
+                                   common=self.common)
+
+    def mock(self) -> "MockCircuitData":
+        return MockCircuitData(prover_only=self.prover_only,
+                               common=self.common)
+
+
+@dataclasses.dataclass
+class ProverCircuitData:
+    """Prover-side split (reference: circuit_data.rs:253-292)."""
+    prover_only: ProverOnlyData
+    common: CommonCircuitData
+
+    def prove(self, inputs) -> "ProofWithPublicInputs":
+        from .prover import prove
+        return prove(self.prover_only, self.common, inputs)
+
+
+@dataclasses.dataclass
+class VerifierCircuitData:
+    """Verifier-side split (reference: circuit_data.rs:296-332)."""
+    verifier_only: VerifierOnlyData
+    common: CommonCircuitData
+
+    def verify(self, proof_with_pis) -> None:
+        from .verifier import verify
+        verify(proof_with_pis, self.verifier_only, self.common)
+
+    def verify_compressed(self, compressed) -> None:
+        from .compressed_proof import decompress_proof
+        self.verify(decompress_proof(
+            compressed, self.verifier_only.circuit_digest, self.common))
+
+
+@dataclasses.dataclass
+class MockCircuitData:
+    """Witness generation without proving
+    (reference: circuit_data.rs:142-155)."""
+    prover_only: ProverOnlyData
+    common: CommonCircuitData
+
+    def generate_witness(self, inputs):
+        from ..iop.generator import generate_partial_witness
+        return generate_partial_witness(inputs, self.prover_only, self.common)

@@ -21,7 +21,6 @@ from ..fri.compressed import (
 from ..fri.verifier import (
     _reduce_rev, compute_evaluation, fri_combine_initial,
 )
-from ..hash.poseidon import hash_public_inputs_oracle
 from ..utils.bits import reverse_bits
 from .get_challenges import get_challenges
 from .proof import OpeningSet, Proof, ProofWithPublicInputs
@@ -45,7 +44,7 @@ class CompressedProofWithPublicInputs:
 def compress_proof(proof_with_pis: ProofWithPublicInputs, circuit_digest,
                    common) -> CompressedProofWithPublicInputs:
     """reference: proof.rs:91-101."""
-    pi_hash = hash_public_inputs_oracle(
+    pi_hash = common.gc.hash_public_inputs(
         [x % ref.ORDER for x in proof_with_pis.public_inputs])
     challenges = get_challenges(proof_with_pis, pi_hash, circuit_digest,
                                 common)
@@ -107,7 +106,7 @@ def _get_inferred_elements(compressed: CompressedProofWithPublicInputs,
 def decompress_proof(compressed: CompressedProofWithPublicInputs,
                      circuit_digest, common) -> ProofWithPublicInputs:
     """reference: proof.rs:188-203."""
-    pi_hash = hash_public_inputs_oracle(
+    pi_hash = common.gc.hash_public_inputs(
         [x % ref.ORDER for x in compressed.public_inputs])
     challenges = get_challenges(compressed, pi_hash, circuit_digest, common)
     inferred = _get_inferred_elements(compressed, challenges, common)
@@ -120,5 +119,5 @@ def decompress_proof(compressed: CompressedProofWithPublicInputs,
             openings=p.openings,
             opening_proof=decompress_fri_proof(
                 p.opening_proof, challenges.fri_challenges.fri_query_indices,
-                inferred, common.fri_params)),
+                inferred, common.fri_params, common.gc.hasher)),
         public_inputs=list(compressed.public_inputs))

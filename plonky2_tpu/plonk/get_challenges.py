@@ -16,7 +16,7 @@ def get_challenges(proof_with_pis: ProofWithPublicInputs,
     proof = proof_with_pis.proof
     num_challenges = common.config.num_challenges
 
-    challenger = Challenger()
+    challenger = Challenger(common.gc.hasher)
     challenger.observe_hash(circuit_digest)
     challenger.observe_hash(public_inputs_hash)
     challenger.observe_cap(proof.wires_cap)

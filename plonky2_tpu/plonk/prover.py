@@ -31,7 +31,6 @@ from ..gates.gate import GFAlgebra
 from ..iop.challenger import Challenger
 from ..iop.generator import generate_partial_witness
 from ..iop.witness import PartialWitness
-from ..hash.poseidon import hash_public_inputs_oracle
 from ..ops import ntt
 from ..utils.bits import reverse_index_bits_perm
 from ..utils.timing import TimingTree
@@ -51,7 +50,8 @@ def prove(prover_data: ProverOnlyData, common: CommonCircuitData,
     with timing.scope('run generators'):
         witness = generate_partial_witness(inputs, prover_data, common)
     public_inputs = [witness.get(t) for t in prover_data.public_inputs]
-    public_inputs_hash = hash_public_inputs_oracle(public_inputs)
+    gc = common.gc
+    public_inputs_hash = gc.hash_public_inputs(public_inputs)
 
     wires_gf = GF.from_u64(witness.full_witness())        # [num_wires, n]
 
@@ -59,12 +59,12 @@ def prove(prover_data: ProverOnlyData, common: CommonCircuitData,
     with timing.scope('wires commitment'):
         wires_commitment = PolynomialBatch.from_values(
             wires_gf, fri_config.rate_bits,
-            config.zero_knowledge, fri_config.cap_height)
+            config.zero_knowledge, fri_config.cap_height, hasher=gc.hasher)
 
-    challenger = Challenger()
+    challenger = Challenger(gc.hasher)
     challenger.observe_hash(prover_data.circuit_digest)
     challenger.observe_hash(public_inputs_hash)
-    challenger.observe_cap(wires_commitment.merkle_tree.cap_u64())
+    challenger.observe_cap(wires_commitment.merkle_tree.cap_digests())
 
     betas = challenger.get_n_challenges(num_challenges)
     gammas = challenger.get_n_challenges(num_challenges)
@@ -88,8 +88,8 @@ def prove(prover_data: ProverOnlyData, common: CommonCircuitData,
     with timing.scope('zs+partial_products commitment'):
         zs_pp_commitment = PolynomialBatch.from_values(
             zs_partial_products, fri_config.rate_bits,
-            config.zero_knowledge, fri_config.cap_height)
-    challenger.observe_cap(zs_pp_commitment.merkle_tree.cap_u64())
+            config.zero_knowledge, fri_config.cap_height, hasher=gc.hasher)
+    challenger.observe_cap(zs_pp_commitment.merkle_tree.cap_digests())
 
     alphas = challenger.get_n_challenges(num_challenges)
 
@@ -101,8 +101,8 @@ def prove(prover_data: ProverOnlyData, common: CommonCircuitData,
     with timing.scope('quotient commitment'):
         quotient_commitment = PolynomialBatch.from_coeffs(
             quotient_chunks, fri_config.rate_bits,
-            config.zero_knowledge, fri_config.cap_height)
-    challenger.observe_cap(quotient_commitment.merkle_tree.cap_u64())
+            config.zero_knowledge, fri_config.cap_height, hasher=gc.hasher)
+    challenger.observe_cap(quotient_commitment.merkle_tree.cap_digests())
 
     # ROUND 4: openings at zeta, g*zeta
     zeta = challenger.get_extension_challenge()
@@ -145,8 +145,8 @@ def prove(prover_data: ProverOnlyData, common: CommonCircuitData,
     return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)
 
 
-def _cap_list(commitment) -> list[list[int]]:
-    return [[int(x) for x in h] for h in commitment.merkle_tree.cap_u64()]
+def _cap_list(commitment) -> list:
+    return commitment.merkle_tree.cap_digests()
 
 
 # ---------------------------------------------------------------------------

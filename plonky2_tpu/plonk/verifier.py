@@ -5,7 +5,6 @@ from __future__ import annotations
 
 from ..field import reference as ref
 from ..fri.verifier import verify_fri_proof
-from ..hash.poseidon import hash_public_inputs_oracle
 from .circuit_data import CommonCircuitData, VerifierOnlyData
 from .get_challenges import get_challenges
 from .proof import ProofWithPublicInputs
@@ -17,7 +16,7 @@ def verify(proof_with_pis: ProofWithPublicInputs,
            common: CommonCircuitData) -> None:
     proof = proof_with_pis.proof
     assert len(proof_with_pis.public_inputs) == common.num_public_inputs
-    public_inputs_hash = hash_public_inputs_oracle(
+    public_inputs_hash = common.gc.hash_public_inputs(
         [x % ref.ORDER for x in proof_with_pis.public_inputs])
     challenges = get_challenges(proof_with_pis, public_inputs_hash,
                                 verifier_data.circuit_digest, common)
@@ -55,4 +54,5 @@ def verify(proof_with_pis: ProofWithPublicInputs,
         merkle_caps,
         proof.opening_proof,
         common.fri_params,
+        hasher=common.gc.hasher,
     )

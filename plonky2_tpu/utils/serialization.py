@@ -53,7 +53,15 @@ class Buffer:
             self.write_ext(x)
 
     def write_hash(self, h):
-        self.write_field_vec(h)
+        # HashOut: 4 LE u64; BytesHash<N>: raw bytes (reference:
+        # serialization/mod.rs writes Hash via GenericHashOut::to_bytes)
+        import numpy as _np
+        if isinstance(h, (bytes, bytearray)):
+            self._w.write(bytes(h))
+        elif isinstance(h, _np.ndarray) and h.dtype == _np.uint8:
+            self._w.write(h.tobytes())
+        else:
+            self.write_field_vec(h)
 
     def write_cap(self, cap):
         for h in cap:
@@ -84,11 +92,13 @@ class Buffer:
     def read_ext_vec(self, n) -> list:
         return [self.read_ext() for _ in range(n)]
 
-    def read_hash(self) -> list:
-        return self.read_field_vec(4)
+    def read_hash(self, hasher=None):
+        if hasher is not None and not hasher.algebraic:
+            return self._r.read(hasher.hash_size)
+        return tuple(self.read_field_vec(4))
 
-    def read_cap(self, cap_height: int) -> list:
-        return [self.read_hash() for _ in range(1 << cap_height)]
+    def read_cap(self, cap_height: int, hasher=None) -> list:
+        return [self.read_hash(hasher) for _ in range(1 << cap_height)]
 
 
 # ---------------------------------------------------------------------------
@@ -113,10 +123,11 @@ def serialize_proof_with_pis(pwp: ProofWithPublicInputs, common) -> bytes:
 
 def deserialize_proof_with_pis(data: bytes, common) -> ProofWithPublicInputs:
     buf = Buffer(data)
+    hasher = common.gc.hasher
     ch = common.config.fri_config.cap_height
-    wires_cap = buf.read_cap(ch)
-    zs_pp_cap = buf.read_cap(ch)
-    quotient_cap = buf.read_cap(ch)
+    wires_cap = buf.read_cap(ch, hasher)
+    zs_pp_cap = buf.read_cap(ch, hasher)
+    quotient_cap = buf.read_cap(ch, hasher)
     o = OpeningSet(
         constants=buf.read_ext_vec(len(common.constants_range)),
         plonk_sigmas=buf.read_ext_vec(len(common.sigmas_range)),
@@ -129,7 +140,8 @@ def deserialize_proof_with_pis(data: bytes, common) -> ProofWithPublicInputs:
     num_leaves = [common.num_preprocessed_polys, common.config.num_wires,
                   common.num_zs_partial_products_polys,
                   common.num_quotient_polys]
-    opening_proof = _read_fri_proof(buf, common.fri_params, num_leaves)
+    opening_proof = _read_fri_proof(buf, common.fri_params, num_leaves,
+                                    hasher)
     public_inputs = buf.read_field_vec(common.num_public_inputs)
     return ProofWithPublicInputs(
         proof=Proof(wires_cap=wires_cap,
@@ -141,39 +153,44 @@ def deserialize_proof_with_pis(data: bytes, common) -> ProofWithPublicInputs:
 
 def _write_fri_proof(buf: Buffer, fp: FriProof) -> None:
     for cap in fp.commit_phase_merkle_caps:
-        buf.write_cap([[int(x) for x in h] for h in cap])
+        buf.write_cap(cap)
     for qr in fp.query_round_proofs:
         for evals, sibs in qr.initial_trees_proof.evals_proofs:
             buf.write_field_vec([int(x) for x in evals])
-            buf.write_cap([[int(x) for x in s] for s in sibs])
+            buf.write_cap(sibs)
         for step in qr.steps:
             buf.write_ext_vec(step.evals)
-            buf.write_cap([[int(x) for x in s] for s in step.merkle_proof])
+            buf.write_cap(step.merkle_proof)
     buf.write_ext_vec(fp.final_poly)
     buf.write_field(int(fp.pow_witness))
 
 
-def _read_fri_proof(buf: Buffer, fri_params, num_leaves_per_oracle):
+def _read_fri_proof(buf: Buffer, fri_params, num_leaves_per_oracle,
+                    hasher=None):
     cap_height = fri_params.config.cap_height
-    caps = [buf.read_cap(cap_height)
+    caps = [buf.read_cap(cap_height, hasher)
             for _ in fri_params.reduction_arity_bits]
     mp_len0 = fri_params.lde_bits - cap_height
+
+    def read_sibs(k):
+        if hasher is not None and not hasher.algebraic:
+            return [buf.read_hash(hasher) for _ in range(k)]
+        return np.asarray([buf.read_hash() for _ in range(k)],
+                          dtype=np.uint64).reshape(k, 4)
+
     rounds = []
     for _ in range(fri_params.config.num_query_rounds):
         evals_proofs = []
         for n_leaves in num_leaves_per_oracle:
             evals = np.asarray(buf.read_field_vec(n_leaves), dtype=np.uint64)
-            sibs = np.asarray([buf.read_hash() for _ in range(mp_len0)],
-                              dtype=np.uint64).reshape(mp_len0, 4)
-            evals_proofs.append((evals, sibs))
+            evals_proofs.append((evals, read_sibs(mp_len0)))
         steps = []
         mp_len = mp_len0
         for arity_bits in fri_params.reduction_arity_bits:
             mp_len -= arity_bits
             evals = buf.read_ext_vec(1 << arity_bits)
-            sibs = np.asarray([buf.read_hash() for _ in range(mp_len)],
-                              dtype=np.uint64).reshape(mp_len, 4)
-            steps.append(FriQueryStep(evals=evals, merkle_proof=sibs))
+            steps.append(FriQueryStep(evals=evals,
+                                      merkle_proof=read_sibs(mp_len)))
         rounds.append(FriQueryRound(
             initial_trees_proof=FriInitialTreeProof(evals_proofs=evals_proofs),
             steps=steps))

@@ -17,7 +17,15 @@ import jax  # noqa: E402
 
 # The environment's axon TPU plugin sets jax_platforms via jax.config, which
 # wins over the JAX_PLATFORMS env var — force it back to CPU for tests.
-jax.config.update("jax_platforms", "cpu")
+# PLONKY2_TPU_TEST_BACKEND=tpu runs the suite on the real chip instead (used
+# for the heavy e2e tests, whose jitted programs compile minutes-to-hours on
+# XLA:CPU but seconds on TPU).
+_backend = os.environ.get("PLONKY2_TPU_TEST_BACKEND", "cpu")
+if _backend == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+# any other value: leave the plugin-selected default (the tunneled TPU chip
+# registers through a plugin whose platform alias differs from "tpu", so we
+# must not override jax_platforms for it)
 jax.config.update("jax_threefry_partitionable", True)
 # Persistent compile cache: the limb-arithmetic graphs are compile-heavy and
 # identical across test runs.

@@ -74,7 +74,7 @@ def test_change_leaf_and_update():
     leaves[5] = new_leaf
     tree.change_leaf_and_update(GF.from_u64(new_leaf), 5)
     cap, _ = merkle_root_oracle([[int(x) for x in l] for l in leaves], cap_h)
-    assert [[int(x) for x in h] for h in tree.cap_u64()] == cap
+    assert [tuple(int(x) for x in h) for h in tree.cap_u64()] == [tuple(h) for h in cap]
 
     # range update crossing a subtree boundary
     new_range = rng.integers(0, ref.ORDER, size=(6, leaf_size),
@@ -82,4 +82,4 @@ def test_change_leaf_and_update():
     leaves[3:9] = new_range
     tree.change_leaves_in_range_and_update(GF.from_u64(new_range), 3, 9)
     cap, _ = merkle_root_oracle([[int(x) for x in l] for l in leaves], cap_h)
-    assert [[int(x) for x in h] for h in tree.cap_u64()] == cap
+    assert [tuple(int(x) for x in h) for h in tree.cap_u64()] == [tuple(h) for h in cap]

@@ -10,20 +10,21 @@ from plonky2_tpu.hash.poseidon_bn128 import (
 
 def test_parameters_shape():
     rc, mds = _constants()
-    assert len(rc) == 64 and all(len(r) == 4 for r in rc)
+    assert len(rc) == 68 and all(len(r) == 5 for r in rc)
     assert all(0 < c < P_BN254 for row in rc for c in row)
     # MDS must be invertible (Cauchy matrices are); quick rank check mod p
     m = [row[:] for row in mds]
     p = P_BN254
-    for col in range(4):
-        piv = next(r for r in range(col, 4) if m[r][col] % p != 0)
+    t = len(m)
+    for col in range(t):
+        piv = next(r for r in range(col, t) if m[r][col] % p != 0)
         m[col], m[piv] = m[piv], m[col]
         inv = pow(m[col][col], p - 2, p)
-        for r in range(col + 1, 4):
+        for r in range(col + 1, t):
             f = m[r][col] * inv % p
-            for c in range(4):
+            for c in range(t):
                 m[r][c] = (m[r][c] - f * m[col][c]) % p
-    assert all(m[i][i] % p != 0 for i in range(4))
+    assert all(m[i][i] % p != 0 for i in range(t))
 
 
 def test_permutation_properties():
@@ -39,11 +40,32 @@ def test_permutation_properties():
     assert two_to_one_bn128(h, h) != h
 
 
-@pytest.mark.xfail(reason="Go-blob bit parity: the reference's "
-                   "libposeidon-permute-c binary is stripped from the "
-                   "snapshot; constants here are spec-derived via Grain")
-def test_reference_kat():
+def test_reference_kat_hash_no_pad():
+    """reference: poseidon_bn128.rs:218-237 (bit parity with the Go blob)."""
     v = [8917524657281059100, 13029010200779371910, 16138660518493481604,
          17277322750214136960, 1441151880423231822]
     assert hash_no_pad_bn128(v) == [16736853722845225729, 1446699130810517790,
                                     15445626857806971868, 6331160477881736675]
+
+
+def test_reference_kat_two_to_one():
+    """reference: poseidon_bn128.rs:239-268."""
+    left = bytes([1, 2, 3, 4, 5, 6, 7, 8] * 4)
+    right = bytes([8, 9, 3, 4, 5, 6, 7, 8] + [1, 2, 3, 4, 5, 6, 7, 8] * 2
+                  + [1, 2, 3, 4, 5, 6, 7, 1])
+    l = [int.from_bytes(left[8 * i:8 * i + 8], "little") for i in range(4)]
+    r = [int.from_bytes(right[8 * i:8 * i + 8], "little") for i in range(4)]
+    assert two_to_one_bn128(l, r) == [
+        5894400909438531414, 4814851992117646301,
+        17814584260098324190, 15859500576163309036]
+
+
+def test_reference_kat_hash_public_inputs():
+    """reference: poseidon_bn128.rs:270-289 — PI hashing delegates to
+    Goldilocks Poseidon."""
+    from plonky2_tpu.hash.hashers import PoseidonBN128GoldilocksConfig
+    v = [8917524657281059100, 13029010200779351910, 16138660518493481604,
+         17277322750214136960, 1441151880423231811]
+    assert PoseidonBN128GoldilocksConfig.hash_public_inputs(v) == [
+        2325439551141788444, 15244397589056680708,
+        5900587506047513594, 7217031981798124005]
