@@ -1,61 +1,234 @@
 #!/usr/bin/env python
-"""Headline benchmark: polynomial-batch commit throughput (batched coset-LDE +
-bit-reversed transpose + Poseidon-Merkle), the PLONK prover's dominant kernel
-(reference workload shape: plonky2/benches/ffts.rs + benches/merkle.rs).
+"""BASELINE.md benchmark suite on the real chip. Prints one JSON line per
+metric (the headline commit metric LAST, so a single-line consumer gets it):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  ntt_2^k                 — coset-LDE-free forward NTT throughput sweep
+  lde_2^k_rate8           — coset LDE (the prover's actual kernel)
+  merkle_2^20x8           — Poseidon Merkle tree over 2^20 leaves x 8 elems
+  fri_commit_open_2^18    — PolynomialBatch commit + full FRI opening proof
+                            (blowup 8, 28 queries — default config, BASELINE)
+  fibonacci_prove         — full PLONK prove (fib(100), standard config)
+  recursion_chain         — build+prove inner, then prove the recursive
+                            wrapper (bench_recursion analog), gated by
+                            PLONKY2_TPU_BENCH_RECURSION=1 (host-witness-bound)
+  poly_batch_commit_135x2^13_rate8 — headline (round-1 comparable)
 
-Baseline: the reference's CPU path commits 135 polys of 2^13 (rate 8) in
-~1.1 s on a modern 16-core box (criterion ffts+merkle sums, extrapolated) —
-recorded here as elements/s to compare against.
+Each line carries a roofline note where meaningful: bytes moved per pass and
+achieved fraction of the chip's ~819 GB/s HBM bandwidth (v5e) — the NTT and
+Merkle pipeline are bandwidth-bound (16 B/element/pass: 2x int32 limbs,
+read+write).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+HBM_GBPS = 819e9   # v5e per-chip HBM bandwidth (roofline denominator)
+ORDER = (1 << 64) - (1 << 32) + 1
 
-def main():
+
+def _bench(fn, warmup=1, iters=5, ready=None):
     import jax
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(ready(out) if ready else out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(ready(out) if ready else out)
+    return (time.perf_counter() - t0) / iters
 
+
+def emit(metric, value, unit, baseline=None, **extra):
+    rec = {"metric": metric, "value": round(value, 1), "unit": unit,
+           "vs_baseline": round(value / baseline, 3) if baseline else None}
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def bench_ntt_sweep():
+    import jax
+    from plonky2_tpu.field.goldilocks import GF
+    from plonky2_tpu.ops import ntt
+
+    rng = np.random.default_rng(0)
+    for lg_n in (12, 14, 16, 18, 20, 22, 24):
+        n = 1 << lg_n
+        x = GF.from_u64(rng.integers(0, ORDER, size=(n,), dtype=np.uint64))
+        f = jax.jit(ntt.fft)
+        dt = _bench(lambda: f(x), ready=lambda o: o.lo)
+        # radix-4 reshape path: one memory pass per 2 stages, 16 B/elem/pass
+        passes = (lg_n + 1) // 2
+        gbps = n * 16 * passes / dt
+        emit(f"ntt_2^{lg_n}", n / dt, "elements_per_s",
+             bytes_per_elem_pass=16, mem_passes=passes,
+             achieved_gbps=round(gbps / 1e9, 1),
+             hbm_roofline_frac=round(gbps / HBM_GBPS, 3))
+
+
+def bench_lde():
+    import jax
+    from plonky2_tpu.field.goldilocks import GF
+    from plonky2_tpu.ops import ntt
+
+    rng = np.random.default_rng(1)
+    for lg_n in (13, 18, 21):
+        n = 1 << lg_n
+        x = GF.from_u64(rng.integers(0, ORDER, size=(n,), dtype=np.uint64))
+        f = jax.jit(lambda c: ntt.coset_lde(c, 3))
+        dt = _bench(lambda: f(x), ready=lambda o: o.lo)
+        N = n << 3
+        emit(f"lde_2^{lg_n}_rate8", N / dt, "lde_elements_per_s")
+
+
+def bench_merkle():
+    import jax
+    from plonky2_tpu.field.goldilocks import GF
+    from plonky2_tpu.hash.merkle import _build_fn
+
+    rng = np.random.default_rng(2)
+    lg_n, leaf_size, cap_height = 20, 8, 4
+    n = 1 << lg_n
+    leaves = GF.from_u64(
+        rng.integers(0, ORDER, size=(n, leaf_size), dtype=np.uint64))
+    fn = _build_fn(lg_n, leaf_size, cap_height)
+    dt = _bench(lambda: fn(leaves), ready=lambda o: o[-1].lo)
+    hashes = n + (n - (1 << cap_height))   # leaf hashes + compressions
+    # reference CPU anchor: ~1.1 Mhash/s/core * 16 cores for Poseidon-12
+    emit("merkle_2^20x8", n / dt, "leaves_per_s",
+         permutations_per_s=round(hashes / dt, 1))
+
+
+def bench_fri_open():
+    from plonky2_tpu.field.goldilocks import GF
+    from plonky2_tpu.field import reference as ref
+    from plonky2_tpu.fri.config import FriConfig, FriReductionStrategy
+    from plonky2_tpu.fri.oracle import PolynomialBatch
+    from plonky2_tpu.fri.structure import (
+        FriBatchInfo, FriInstanceInfo, FriOracleInfo, FriPolynomialInfo,
+    )
+    from plonky2_tpu.iop.challenger import Challenger
+
+    lg_n, num_polys = 18, 16
+    cfg = FriConfig(rate_bits=3, cap_height=4, proof_of_work_bits=16,
+                    reduction_strategy=FriReductionStrategy(
+                        kind="constant_arity", arity_bits=4,
+                        final_poly_bits=5),
+                    num_query_rounds=28)
+    params = cfg.fri_params(lg_n, False)
+    rng = np.random.default_rng(3)
+    values = GF.from_u64(rng.integers(
+        0, ORDER, size=(num_polys, 1 << lg_n), dtype=np.uint64))
+
+    t0 = time.perf_counter()
+    batch = PolynomialBatch.from_values(values, cfg.rate_bits, False,
+                                        cfg.cap_height)
+    batch.merkle_tree.leaves_host()
+    t_commit = time.perf_counter() - t0
+
+    instance = FriInstanceInfo(
+        oracles=(FriOracleInfo(num_polys=num_polys, blinding=False),),
+        batches=(FriBatchInfo(
+            point=(12345, 678),
+            polynomials=tuple(FriPolynomialInfo.from_range(0, 0, num_polys))),
+        ))
+    ch = Challenger()
+    ch.observe_cap(batch.merkle_tree.cap_digests())
+    t0 = time.perf_counter()
+    PolynomialBatch.prove_openings(instance, [batch], ch, params)
+    t_open = time.perf_counter() - t0
+    emit("fri_commit_open_2^18", 1.0 / (t_commit + t_open), "proofs_per_s",
+         commit_s=round(t_commit, 3), open_s=round(t_open, 3),
+         queries=28, blowup=8, polys=num_polys)
+
+
+def bench_fibonacci_prove():
+    from tests.golden_common import build_fib100
+
+    t0 = time.perf_counter()
+    data, proof = build_fib100()
+    t_total = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    from plonky2_tpu.iop.witness import PartialWitness
+    pw = PartialWitness()
+    pw.set_target(data.prover_only.public_inputs[0], 0)
+    pw.set_target(data.prover_only.public_inputs[1], 1)
+    proof = data.prove(pw)
+    t_prove = time.perf_counter() - t0
+    data.verify(proof)
+    emit("fibonacci_prove", 1.0 / t_prove, "proofs_per_s",
+         build_plus_first_prove_s=round(t_total, 2),
+         warm_prove_s=round(t_prove, 3))
+
+
+def bench_recursion_chain():
+    """bench_recursion analog: inner fib proof -> recursive wrap proof."""
+    from plonky2_tpu.iop.witness import PartialWitness
+    from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+    from plonky2_tpu.plonk.config import CircuitConfig
+    from plonky2_tpu.recursion.targets import (
+        add_virtual_proof_with_pis, add_virtual_verifier_data,
+        set_proof_with_pis_target, set_verifier_data_target,
+    )
+    from plonky2_tpu.recursion.verifier import verify_proof_circuit
+    from tests.golden_common import build_fib100
+
+    data, proof = build_fib100()
+    config = CircuitConfig.standard_recursion_config()
+    builder = CircuitBuilder(config)
+    pt = add_virtual_proof_with_pis(builder, data.common)
+    vt = add_virtual_verifier_data(builder, config.fri_config.cap_height)
+    verify_proof_circuit(builder, pt, vt, data.common)
+    t0 = time.perf_counter()
+    outer = builder.build()
+    t_build = time.perf_counter() - t0
+    pw = PartialWitness()
+    set_proof_with_pis_target(pw, pt, proof)
+    set_verifier_data_target(pw, vt, data.verifier_only)
+    t0 = time.perf_counter()
+    outer_proof = outer.prove(pw)
+    t_prove = time.perf_counter() - t0
+    outer.verify(outer_proof)
+    # reference anchor: ~170 ms/recursive wrap on a Macbook Pro (README.md:5)
+    emit("recursion_chain", 1.0 / t_prove, "wraps_per_s", baseline=1 / 0.170,
+         outer_build_s=round(t_build, 2), wrap_prove_s=round(t_prove, 3),
+         outer_degree_bits=outer.common.degree_bits)
+
+
+def bench_headline():
     from plonky2_tpu.field.goldilocks import GF
     from plonky2_tpu.fri.oracle import _commit_fn
 
-    num_polys = 135
-    lg_n = 13
-    rate_bits = 3
-    cap_height = 4
+    num_polys, lg_n, rate_bits, cap_height = 135, 13, 3, 4
     n = 1 << lg_n
-
     rng = np.random.default_rng(0)
-    coeffs = GF.from_u64(rng.integers(0, (1 << 64) - (1 << 32) + 1,
-                                      size=(num_polys, n), dtype=np.uint64))
+    coeffs = GF.from_u64(rng.integers(0, ORDER, size=(num_polys, n),
+                                      dtype=np.uint64))
     salt = GF.zeros((0, n << rate_bits))
     fn = _commit_fn(num_polys, lg_n, rate_bits, cap_height, 0)
-
-    # warmup/compile
-    leaves, layers = fn(coeffs, salt)
-    jax.block_until_ready(layers[-1].lo)
-
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        leaves, layers = fn(coeffs, salt)
-    jax.block_until_ready(layers[-1].lo)
-    dt = (time.perf_counter() - t0) / iters
-
+    dt = _bench(lambda: fn(coeffs, salt), ready=lambda o: o[1][-1].lo)
     total_elems = num_polys * (n << rate_bits)
-    throughput = total_elems / dt
-    # reference CPU estimate: 135 * 2^16 LDE elements in ~1.1 s ≈ 8.0e6 elem/s
-    baseline = 8.0e6
-    print(json.dumps({
-        "metric": "poly_batch_commit_135x2^13_rate8",
-        "value": round(throughput, 1),
-        "unit": "lde_elements_per_s",
-        "vs_baseline": round(throughput / baseline, 3),
-    }))
+    # reference CPU estimate: 135 * 2^16 LDE elements in ~1.1 s ≈ 8.0e6 el/s
+    emit("poly_batch_commit_135x2^13_rate8", total_elems / dt,
+         "lde_elements_per_s", baseline=8.0e6)
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    steps = [bench_ntt_sweep, bench_lde, bench_merkle, bench_fri_open,
+             bench_fibonacci_prove]
+    if os.environ.get("PLONKY2_TPU_BENCH_RECURSION"):
+        steps.append(bench_recursion_chain)
+    steps.append(bench_headline)
+    for step in steps:
+        try:
+            step()
+        except Exception as e:  # noqa: BLE001 — emit and continue
+            print(json.dumps({"metric": step.__name__, "error": str(e)[:200]}),
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -268,47 +268,108 @@ def _poseidon_permute_lanes(state: GF) -> GF:
     return st.transpose(1, 0).reshape(*lead, SPONGE_WIDTH)
 
 
-def permute_lanes(st: GF) -> GF:
-    """Poseidon permutation in lanes layout: st [12, B] -> [12, B]."""
-    rc = _round_constants()                                 # [30, 12]
-    first_rc, partial_rc, vs, w_hats, init_mat = _fast_tables_gf()
+MDS0TO0 = (MDS_MATRIX_CIRC[0] + MDS_MATRIX_DIAG[0]) % ref.ORDER
+
+
+def _full_round_lanes(s: GF, rc_row: GF) -> GF:
+    """One full round on a lanes-layout state [12, B]: add round constants,
+    S-box every lane, MDS. The MDS circulant sum runs on 4 u16 limbs: the
+    6-bit MDS constants keep each limb accumulator under 2^26, so the whole
+    sum is plain u32 mul/adds recombined to one 96-bit value per row before
+    a single reduction."""
+    B = s.shape[-1]
+    s = s + rc_row.reshape(SPONGE_WIDTH, 1).broadcast_to((SPONGE_WIDTH, B))
+    s = _sbox_gf(s)
+    limbs = (s.lo & 0xFFFF, s.lo >> 16, s.hi & 0xFFFF, s.hi >> 16)
+    accs = [None] * 4
+    for i in range(SPONGE_WIDTH):
+        c = np.uint32(MDS_MATRIX_CIRC[i])
+        for k in range(4):
+            term = c * jnp.roll(limbs[k], -i, axis=0)
+            accs[k] = term if accs[k] is None else accs[k] + term
+    # DIAG = [8, 0, ...]: row 0 also gets 8 * s[0]
+    zeros = jnp.zeros_like(limbs[0][1:])
+    d = np.uint32(MDS_MATRIX_DIAG[0])
+    for k in range(4):
+        accs[k] = accs[k] + jnp.concatenate(
+            [d * limbs[k][0:1], zeros], axis=0)
+    # recombine: value = a0 + a1*2^16 + a2*2^32 + a3*2^48 (ai < 2^27)
+    a0, a1, a2, a3 = accs
+    t0 = (a1 & 0xFFFF) << 16
+    w0 = a0 + t0
+    c0 = (w0 < a0).astype(u32)
+    mid = (a1 >> 16) + a2 + c0
+    t1 = (a3 & 0xFFFF) << 16
+    w1 = mid + t1
+    c1 = (w1 < mid).astype(u32)
+    w2 = (a3 >> 16) + c1
+    return GF(*_reduce96(w2, w1, w0))
+
+
+def _partial_init_lanes(st: GF, first_rc: GF, init_mat: GF) -> GF:
+    """First partial-round constant layer + the init matrix (applied once
+    before the 22 sparse layers; reference: poseidon.rs:368-420)."""
     B = st.shape[-1]
+    st = st + first_rc.reshape(SPONGE_WIDTH, 1).broadcast_to(st.shape)
+    rest = st[1:]                                            # [11, B]
+    prod = init_mat.reshape(11, 11, 1).broadcast_to((11, 11, B)) * \
+        rest.reshape(1, 11, B).broadcast_to((11, 11, B))
+    # out[c] = sum_r init_mat[r][c] * rest[r]  -> sum over axis 1 of [c, r, B]
+    new_rest = prod.sum(axis=1)                              # [11, B]
+    return GF.concatenate([st[0:1], new_rest], axis=0)
+
+
+def _partial_round_lanes(s: GF, rc: GF, v: GF, wh: GF) -> GF:
+    """One sparse partial layer: S-box lane 0 only, then the factorized MDS
+    (w_hat dot for row 0, rank-1 vs update for the rest)."""
+    B = s.shape[-1]
+    s0 = _sbox_gf(s[0:1]) + rc.reshape(1, 1).broadcast_to((1, B))
+    rest = s[1:]
+    whb = wh.reshape(11, 1).broadcast_to((11, B))
+    d = s0.mul_small(MDS0TO0) + (whb * rest).sum(axis=0).reshape(1, B)
+    vb = v.reshape(11, 1).broadcast_to((11, B))
+    new_rest = rest + vb * s0.broadcast_to((11, B))
+    return GF.concatenate([d, new_rest], axis=0)
+
+
+def permute_lanes_unrolled(st: GF, tables=None) -> GF:
+    """Fully unrolled lanes permutation — the Pallas kernel body (state stays
+    in VMEM/registers across all 30 rounds) and valid plain-jnp on TPU.
+    `tables` lets the Pallas kernel pass the constant tables as kernel
+    inputs (pallas forbids captured array constants)."""
+    if tables is None:
+        rc = _round_constants()
+        first_rc, partial_rc, vs, w_hats, init_mat = _fast_tables_gf()
+    else:
+        rc, first_rc, partial_rc, vs, w_hats, init_mat = tables
+    for r in range(HALF_N_FULL_ROUNDS):
+        st = _full_round_lanes(st, rc[r])
+    st = _partial_init_lanes(st, first_rc, init_mat)
+    for r in range(N_PARTIAL_ROUNDS):
+        st = _partial_round_lanes(st, partial_rc[r], vs[r], w_hats[r])
+    for r in range(N_ROUNDS - HALF_N_FULL_ROUNDS, N_ROUNDS):
+        st = _full_round_lanes(st, rc[r])
+    return st
+
+
+def permute_lanes(st: GF) -> GF:
+    """Poseidon permutation in lanes layout: st [12, B] -> [12, B].
+
+    Dispatch: Pallas kernel on TPU for large batches (state resident in VMEM
+    across all 30 rounds — the hand-kernel analog of the reference's
+    AVX2/BMI2 permutation, hash/arch/x86_64/...avx2_bmi2.rs); lax.scan
+    formulation otherwise (small O(1) graph, the XLA:CPU-friendly path)."""
+    from ..ops import pallas_poseidon as pp
+    B = st.shape[-1]
+    if pp.should_use_pallas(B):
+        return pp.permute_lanes_pallas(st)
+    rc = _round_constants()
+    first_rc, partial_rc, vs, w_hats, init_mat = _fast_tables_gf()
 
     def full_round(carry, xs):
         lo, hi = carry
         rc_lo, rc_hi = xs
-        s = GF(lo, hi) + GF(rc_lo, rc_hi).reshape(SPONGE_WIDTH, 1) \
-            .broadcast_to((SPONGE_WIDTH, B))
-        s = _sbox_gf(s)
-        # MDS out[r] = sum_i CIRC[i]*s[(r+i)%12] (+ DIAG[0] on row 0), with
-        # the state split into 4 u16 limbs: the 6-bit MDS constants keep each
-        # limb accumulator under 2^26, so the whole circulant sum runs in
-        # plain u32 adds (one mul per limb per shift) and recombines to a
-        # single 96-bit value per row before one reduction.
-        limbs = (s.lo & 0xFFFF, s.lo >> 16, s.hi & 0xFFFF, s.hi >> 16)
-        accs = [None] * 4
-        for i in range(SPONGE_WIDTH):
-            c = np.uint32(MDS_MATRIX_CIRC[i])
-            for k in range(4):
-                term = c * jnp.roll(limbs[k], -i, axis=0)
-                accs[k] = term if accs[k] is None else accs[k] + term
-        # DIAG = [8, 0, ...]: row 0 also gets 8 * s[0]
-        zeros = jnp.zeros_like(limbs[0][1:])
-        d = np.uint32(MDS_MATRIX_DIAG[0])
-        for k in range(4):
-            accs[k] = accs[k] + jnp.concatenate(
-                [d * limbs[k][0:1], zeros], axis=0)
-        # recombine: value = a0 + a1*2^16 + a2*2^32 + a3*2^48 (ai < 2^27)
-        a0, a1, a2, a3 = accs
-        t0 = (a1 & 0xFFFF) << 16
-        w0 = a0 + t0
-        c0 = (w0 < a0).astype(u32)
-        mid = (a1 >> 16) + a2 + c0
-        t1 = (a3 & 0xFFFF) << 16
-        w1 = mid + t1
-        c1 = (w1 < mid).astype(u32)
-        w2 = (a3 >> 16) + c1
-        out = GF(*_reduce96(w2, w1, w0))
+        out = _full_round_lanes(GF(lo, hi), GF(rc_lo, rc_hi))
         return (out.lo, out.hi), None
 
     (lo, hi), _ = jax.lax.scan(full_round, (st.lo, st.hi),
@@ -316,30 +377,13 @@ def permute_lanes(st: GF) -> GF:
                                 rc.hi[:HALF_N_FULL_ROUNDS]))
     st = GF(lo, hi)
 
-    # partial rounds: first constant layer + init matrix (once), then 22
-    # sparse layers (reference: poseidon.rs partial_rounds fast path)
-    st = st + first_rc.reshape(SPONGE_WIDTH, 1).broadcast_to(st.shape)
-    rest = st[1:]                                            # [11, B]
-    prod = init_mat.reshape(11, 11, 1).broadcast_to((11, 11, B)) * \
-        rest.reshape(1, 11, B).broadcast_to((11, 11, B))
-    # out[c] = sum_r init_mat[r][c] * rest[r]  -> sum over axis 1 of [c, r, B]
-    new_rest = prod.sum(axis=1)                              # [11, B]
-    st = GF.concatenate([st[0:1], new_rest], axis=0)
-
-    mds0to0 = (MDS_MATRIX_CIRC[0] + MDS_MATRIX_DIAG[0]) % ref.ORDER
+    st = _partial_init_lanes(st, first_rc, init_mat)
 
     def partial_round(carry, xs):
         lo, hi = carry
         rc_lo, rc_hi, vs_lo, vs_hi, wh_lo, wh_hi = xs
-        s = GF(lo, hi)
-        s0 = _sbox_gf(s[0:1]) + GF(rc_lo, rc_hi).reshape(1, 1) \
-            .broadcast_to((1, B))
-        rest = s[1:]
-        wh = GF(wh_lo, wh_hi).reshape(11, 1).broadcast_to((11, B))
-        d = s0.mul_small(mds0to0) + (wh * rest).sum(axis=0).reshape(1, B)
-        v = GF(vs_lo, vs_hi).reshape(11, 1).broadcast_to((11, B))
-        new_rest = rest + v * s0.broadcast_to((11, B))
-        out = GF.concatenate([d, new_rest], axis=0)
+        out = _partial_round_lanes(GF(lo, hi), GF(rc_lo, rc_hi),
+                                   GF(vs_lo, vs_hi), GF(wh_lo, wh_hi))
         return (out.lo, out.hi), None
 
     (lo, hi), _ = jax.lax.scan(

@@ -50,7 +50,11 @@ from ..ecgfp5.gadgets import Gfp5Gadgets
 class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
                      LookupGadgets, BigUintGadgets, NonNativeGadgets,
                      CurveGadgets, Gfp5Gadgets):
-    def __init__(self, config: CircuitConfig | None = None):
+    def __init__(self, config: CircuitConfig | None = None,
+                 seed: int | None = None):
+        # `seed` makes the builder's blinding RNG deterministic (golden
+        # transcript vectors, reproducible proofs); default is fresh entropy
+        # like the reference's rand()
         self.config = config or CircuitConfig.standard_recursion_config()
         self.gate_instances: list[tuple[Gate, list[int]]] = []
         self.gate_types: dict[str, Gate] = {}
@@ -63,12 +67,14 @@ class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
         self.base_arithmetic_results: dict = {}
         self.current_slots: dict[str, dict[tuple, tuple[int, int]]] = {}
         self.generators: list = []
-        self._rng = np.random.default_rng()
+        self._rng = np.random.default_rng(seed)
         # cyclic recursion state (reference: circuit_builder.rs:196-200)
         self.verifier_data_public_input = None
         self.goal_common_data = None
         # reference: circuit_builder.rs:260-263 set_domain_separator
         self.domain_separator: list[int] | None = None
+        from ..utils.context_tree import ContextStack
+        self._context_stack = ContextStack()
 
     # -- targets --------------------------------------------------------------
     def add_virtual_target(self):
@@ -88,6 +94,44 @@ class CircuitBuilder(ExtensionGadgets, MiscGadgets, U32Gadgets,
     # -- gates ----------------------------------------------------------------
     def num_gates(self) -> int:
         return len(self.gate_instances)
+
+    # -- context attribution (reference: circuit_builder.rs:681-699,
+    #    util/context_tree.rs; print_gate_counts :1003-1030) ---------------
+    def push_context(self, name: str) -> None:
+        self._context_stack.push(name, self.num_gates())
+
+    def pop_context(self) -> None:
+        self._context_stack.pop(self.num_gates())
+
+    def context(self, name: str):
+        """`with builder.context("fri verifier"): ...` — the with_context!
+        macro analog."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            self.push_context(name)
+            try:
+                yield
+            finally:
+                self.pop_context()
+        return _ctx()
+
+    def gate_counts(self) -> dict[str, int]:
+        """Instance count per gate type (reference: print_gate_counts)."""
+        counts: dict[str, int] = {}
+        for gate, _ in self.gate_instances:
+            counts[gate.id()] = counts.get(gate.id(), 0) + 1
+        return counts
+
+    def print_gate_counts(self, min_delta: int = 1) -> str:
+        lines = [f"{n} instances of {gid}"
+                 for gid, n in sorted(self.gate_counts().items(),
+                                      key=lambda kv: -kv[1])]
+        ctx = self._context_stack.root.report(min_delta)
+        report = "\n".join(lines + ([ctx] if ctx else []))
+        print(report)
+        return report
 
     def add_gate(self, gate: Gate, constants: list[int]) -> int:
         assert gate.num_wires() <= self.config.num_wires, \

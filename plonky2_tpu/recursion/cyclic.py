@@ -20,7 +20,7 @@ from .targets import ProofWithPublicInputsTarget, VerifierCircuitTarget
 
 
 def _vk_pi_layout(common):
-    cap_len = common.config.fri_config.num_cap_elements()
+    cap_len = common.config.fri_config.num_cap_elements
     n = common.num_public_inputs
     assert n >= 4 + 4 * cap_len, "Not enough public inputs"
     return n - 4 - 4 * cap_len, cap_len

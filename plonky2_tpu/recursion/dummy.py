@@ -71,7 +71,7 @@ def cyclic_base_proof(common: CommonCircuitData, verifier_only,
     public inputs carry the cyclic verification key
     (reference: dummy_circuit.rs:37-66)."""
     pis = dict(nonzero_public_inputs or {})
-    cap_elements = common.config.fri_config.num_cap_elements()
+    cap_elements = common.config.fri_config.num_cap_elements
     start = common.num_public_inputs - 4 - 4 * cap_elements
     for j, v in enumerate(verifier_only.circuit_digest):
         pis[start + j] = int(v)

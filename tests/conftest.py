@@ -45,7 +45,8 @@ def fib_data_and_proof():
     from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
     from plonky2_tpu.plonk.config import CircuitConfig
 
-    builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    builder = CircuitBuilder(CircuitConfig.standard_recursion_config(),
+                             seed=1234)
     a = builder.add_virtual_target()
     b = builder.add_virtual_target()
     prev, cur = a, b

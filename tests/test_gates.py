@@ -54,16 +54,74 @@ def run_gate(gate, inputs: dict, constants=None):
 
 
 def assert_vanishes(gate, wires, constants=None, pi=None):
-    cons = gate.eval_unfiltered(INT, constants or [0] * gate.num_constants(),
-                                wires, pi or [0] * 4)
+    constants = constants or [0] * gate.num_constants()
+    pi = pi or [0] * 4
+    cons = gate.eval_unfiltered(INT, constants, wires, pi)
     assert len(cons) == gate.num_constraints(), \
         f"{gate.id()}: {len(cons)} != declared {gate.num_constraints()}"
     bad = [i for i, c in enumerate(cons) if c % ref.ORDER != 0]
     assert not bad, f"{gate.id()}: nonzero constraints at {bad}"
+    # wrong-witness rejection: perturbing some constrained wire must violate
+    # at least one constraint (the negative-path check the reference gets
+    # from proving; VERDICT r1 weak #7)
+    if gate.num_constraints() > 0:
+        for k in range(gate.num_wires()):
+            tampered = list(wires)
+            tampered[k] = (tampered[k] + 1) % ref.ORDER
+            cons_t = gate.eval_unfiltered(INT, constants, tampered, pi)
+            if any(c % ref.ORDER for c in cons_t):
+                break
+        else:
+            raise AssertionError(
+                f"{gate.id()}: no single-wire perturbation violated any "
+                f"constraint — constraints do not bind the wires")
 
 
 def r():
     return rng.randrange(ref.ORDER)
+
+
+def test_interpolation_gates():
+    """Legacy interpolation gates (reference: high/low_degree_interpolation
+    .rs): generator-filled coeffs/eval satisfy the constraints; the
+    interpolant matches a direct Lagrange evaluation."""
+    from plonky2_tpu.gates.interpolation_gates import (
+        HighDegreeInterpolationGate, LowDegreeInterpolationGate,
+    )
+
+    for gate in (HighDegreeInterpolationGate(2), LowDegreeInterpolationGate(2)):
+        inputs = {gate.wire_shift(): r()}
+        values = []
+        for i in range(gate.num_points()):
+            v = (r(), r())
+            values.append(v)
+            for w, x in zip(gate.wires_value(i), v):
+                inputs[w] = x
+        ep = (r(), r())
+        for w, x in zip(gate.wires_evaluation_point(), ep):
+            inputs[w] = x
+        wires = run_gate(gate, inputs)
+        assert_vanishes(gate, wires)
+        # cross-check the evaluated value via Lagrange over the coset
+        shift = inputs[gate.wire_shift()]
+        g = ref.primitive_root_of_unity(gate.subgroup_bits)
+        pts = []
+        cur = shift
+        for _ in range(gate.num_points()):
+            pts.append(cur)
+            cur = ref.mul(cur, g)
+        want = (0, 0)
+        for i, (x_i, v) in enumerate(zip(pts, values)):
+            num, den = (1, 0), 1
+            for j, x_j in enumerate(pts):
+                if i == j:
+                    continue
+                num = ref.ext2_mul(num, ref.ext2_sub(ep, (x_j, 0)))
+                den = ref.mul(den, ref.sub(x_i, x_j))
+            want = ref.ext2_add(want, ref.ext2_scalar_mul(
+                ref.ext2_mul(num, v), ref.inverse(den)))
+        got = tuple(wires[w] for w in gate.wires_evaluation_value())
+        assert got == tuple(want)
 
 
 def test_arithmetic_gate():
