@@ -285,7 +285,10 @@ def _full_round_lanes(s: GF, rc_row: GF) -> GF:
     for i in range(SPONGE_WIDTH):
         c = np.uint32(MDS_MATRIX_CIRC[i])
         for k in range(4):
-            term = c * jnp.roll(limbs[k], -i, axis=0)
+            # i == 0 must bypass jnp.roll: a zero shift lowers to a
+            # concat with a 0-sized slice, which Mosaic (Pallas) rejects
+            rolled = limbs[k] if i == 0 else jnp.roll(limbs[k], -i, axis=0)
+            term = c * rolled
             accs[k] = term if accs[k] is None else accs[k] + term
     # DIAG = [8, 0, ...]: row 0 also gets 8 * s[0]
     zeros = jnp.zeros_like(limbs[0][1:])

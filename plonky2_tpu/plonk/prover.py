@@ -195,7 +195,11 @@ def _partial_products_fn(num_routed: int, degree: int, max_degree: int,
     """Three small jits instead of one: fusing the prefix-product scan with
     the surrounding multiply chains triggers a pathological XLA:CPU compile
     (minutes); isolated stages compile in seconds each."""
-    num_chunks = (num_routed + max_degree - 1) // max_degree
+    # ragged chunking like the reference's chunks(max_degree) — the last
+    # chunk may be smaller (util/partial_products.rs:55-78)
+    chunk_bounds = [(i, min(i + max_degree, num_routed))
+                    for i in range(0, num_routed, max_degree)]
+    num_chunks = len(chunk_bounds)
 
     def chunks_stage(wires: GF, sigmas: GF, subgroup: GF, beta: GF,
                      gamma: GF):
@@ -208,10 +212,21 @@ def _partial_products_fn(num_routed: int, degree: int, max_degree: int,
         numer = wires + b * (k * x) + gmma
         denom = wires + b * sigmas + gmma
         quot = numer * denom.inverse()
-        quot_c = quot.reshape(num_chunks, max_degree, n)
-        cp = quot_c[:, 0]
-        for j in range(1, max_degree):
-            cp = cp * quot_c[:, j]
+        if num_routed % max_degree == 0:
+            # uniform chunks: one reshape + max_degree slab multiplies
+            # (fewer, larger ops — faster XLA compile and execution)
+            quot_c = quot.reshape(num_chunks, max_degree, n)
+            cp = quot_c[:, 0]
+            for j in range(1, max_degree):
+                cp = cp * quot_c[:, j]
+        else:
+            cps = []
+            for lo, hi in chunk_bounds:
+                acc = quot[lo]
+                for j in range(lo + 1, hi):
+                    acc = acc * quot[j]
+                cps.append(acc.reshape(1, n))
+            cp = GF.concatenate(cps, axis=0) if num_chunks > 1 else cps[0]
         row_prod = cp[0]
         for j in range(1, num_chunks):
             row_prod = row_prod * cp[j]
@@ -314,8 +329,8 @@ def _quotient_fn(common, next_step):
 
     nr = common.config.num_routed_wires
     qdf = common.quotient_degree_factor
-    num_chunks = (nr + qdf - 1) // qdf
-    assert nr % qdf == 0, "routed wires must be a multiple of the chunk size"
+    chunk_bounds = [(lo, min(lo + qdf, nr)) for lo in range(0, nr, qdf)]
+    num_chunks = len(chunk_bounds)
     k_np = np.asarray(common.k_is, dtype=np.uint64)
     N = n_points
 
@@ -351,11 +366,24 @@ def _quotient_fn(common, next_step):
         s_id = k_b * x.reshape(1, N).broadcast_to((nr, N))
         one = GF.ones((N,))
 
-        def tree_prod(chunked: GF) -> GF:
-            acc = chunked[:, 0]
-            for j in range(1, qdf):
-                acc = acc * chunked[:, j]
-            return acc
+        def chunk_prods(rows: GF) -> GF:
+            """[nr, N] -> [num_chunks, N]: product over each (ragged)
+            max_degree-sized chunk of rows. Uniform case uses one reshape +
+            qdf slab multiplies (fewer, larger ops)."""
+            if nr % qdf == 0:
+                chunked = rows.reshape(num_chunks, qdf, N)
+                acc = chunked[:, 0]
+                for j in range(1, qdf):
+                    acc = acc * chunked[:, j]
+                return acc
+            outs = []
+            for lo, hi in chunk_bounds:
+                acc = rows[lo]
+                for j in range(lo + 1, hi):
+                    acc = acc * rows[j]
+                outs.append(acc.reshape(1, N))
+            return (GF.concatenate(outs, axis=0) if num_chunks > 1
+                    else outs[0])
 
         num_prods = common.num_partial_products
         z1_terms, pp_terms = [], []
@@ -367,8 +395,8 @@ def _quotient_fn(common, next_step):
             gamma = gammas[i].broadcast_to((nr, N))
             numer = routed + beta * s_id + gamma
             denom = routed + beta * sigmas_rows + gamma
-            nprod = tree_prod(numer.reshape(num_chunks, qdf, N))
-            dprod = tree_prod(denom.reshape(num_chunks, qdf, N))
+            nprod = chunk_prods(numer)
+            dprod = chunk_prods(denom)
             pps = zs_pp_lde[pp_lo + i * num_prods:pp_lo + (i + 1) * num_prods]
             accs = GF.concatenate(
                 [z_x.reshape(1, N), pps, z_gx.reshape(1, N)], axis=0)

@@ -45,12 +45,17 @@ def prove(stark: Stark, config: StarkConfig, trace: np.ndarray,
           timing: TimingTree | None = None,
           challenger: Challenger | None = None,
           ctl_data=None, ctl_challenges=None, ctls=None,
-          table: int = 0) -> StarkProofWithPublicInputs:
+          table: int = 0, gc=None) -> StarkProofWithPublicInputs:
     """trace: uint64 [COLUMNS, degree] of trace values (column-major rows).
 
     For CTL-linked tables, pass the shared post-CTL-challenge `challenger`
     plus this table's `ctl_data` and the system-wide `ctl_challenges`/`ctls`.
+    `gc` selects the hashing configuration (GenericConfig; default Poseidon —
+    the reference's starky is likewise generic over C).
     """
+    if gc is None:
+        from ..hash.hashers import PoseidonGoldilocksConfig
+        gc = PoseidonGoldilocksConfig
     timing = timing or TimingTree()
     assert trace.shape[0] == stark.COLUMNS
     degree = trace.shape[1]
@@ -65,11 +70,11 @@ def prove(stark: Stark, config: StarkConfig, trace: np.ndarray,
     trace_gf = GF.from_u64(trace)
     with timing.scope("compute trace commitment"):
         trace_commitment = PolynomialBatch.from_values(
-            trace_gf, rate_bits, False, cap_height)
+            trace_gf, rate_bits, False, cap_height, hasher=gc.hasher)
 
     if challenger is None:
-        challenger = Challenger()
-        challenger.observe_cap(trace_commitment.merkle_tree.cap_u64())
+        challenger = Challenger(gc.hasher)
+        challenger.observe_cap(trace_commitment.merkle_tree.cap_digests())
 
     # logUp lookups: draw (beta, gamma) challenge pairs, use the betas; with
     # CTLs the shared ctl challenges are reused (reference: prover.rs:131-141)
@@ -105,8 +110,8 @@ def prove(stark: Stark, config: StarkConfig, trace: np.ndarray,
     if aux_polys is not None:
         with timing.scope("compute auxiliary polynomials commitment"):
             aux_commitment = PolynomialBatch.from_values(
-                aux_polys, rate_bits, False, cap_height)
-        challenger.observe_cap(aux_commitment.merkle_tree.cap_u64())
+                aux_polys, rate_bits, False, cap_height, hasher=gc.hasher)
+        challenger.observe_cap(aux_commitment.merkle_tree.cap_digests())
 
     alphas = challenger.get_n_challenges(config.num_challenges)
 
@@ -117,8 +122,8 @@ def prove(stark: Stark, config: StarkConfig, trace: np.ndarray,
             alphas, degree_bits)
     with timing.scope("compute quotient commitment"):
         quotient_commitment = PolynomialBatch.from_coeffs(
-            quotient_chunks, rate_bits, False, cap_height)
-    challenger.observe_cap(quotient_commitment.merkle_tree.cap_u64())
+            quotient_chunks, rate_bits, False, cap_height, hasher=gc.hasher)
+    challenger.observe_cap(quotient_commitment.merkle_tree.cap_digests())
 
     zeta = challenger.get_extension_challenge()
     g = ref.primitive_root_of_unity(degree_bits)
@@ -158,7 +163,7 @@ def prove(stark: Stark, config: StarkConfig, trace: np.ndarray,
             instance, commitments, challenger, fri_params)
 
     def cap_list(c):
-        return [[int(x) for x in h] for h in c.merkle_tree.cap_u64()]
+        return c.merkle_tree.cap_digests()
 
     return StarkProofWithPublicInputs(
         proof=StarkProof(

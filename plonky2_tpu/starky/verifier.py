@@ -21,7 +21,7 @@ def verify_stark_proof(stark: Stark,
                        config: StarkConfig,
                        challenger: Challenger | None = None,
                        ctl_challenges=None, ctls=None,
-                       table: int = 0) -> None:
+                       table: int = 0, gc=None) -> None:
     """For CTL-linked tables pass the forked shared `challenger` (state after
     observing all trace caps + drawing CTL challenges), the challenges, the
     system CTL descriptors, and this table's index."""
@@ -36,9 +36,12 @@ def verify_stark_proof(stark: Stark,
     degree_bits = lde_bits - config.fri_config.rate_bits
     degree = 1 << degree_bits
 
+    if gc is None:
+        from ..hash.hashers import PoseidonGoldilocksConfig
+        gc = PoseidonGoldilocksConfig
     # replay challenges (reference: starky get_challenges.rs:26-80)
     if challenger is None:
-        ch = Challenger()
+        ch = Challenger(gc.hasher)
         ch.observe_cap(proof.trace_cap)
     else:
         ch = challenger
@@ -131,6 +134,7 @@ def verify_stark_proof(stark: Stark,
         caps,
         proof.opening_proof,
         config.fri_params(degree_bits),
+        hasher=gc.hasher,
     )
 
 

@@ -1,0 +1,98 @@
+"""Mesh scaling-efficiency harness: the four-step sharded NTT and the
+column-sharded commit at 1 -> 2 -> 4 -> 8 devices (the analog of the
+reference's --threads sweep, examples/bench_recursion.rs:239-259).
+
+Writes SCALING.json: per device-count wall time, throughput and efficiency
+relative to 1 device. On the CI box the 8 "devices" are virtual XLA:CPU
+devices sharing ONE physical core, so efficiency here validates the
+collective program (compiles, runs, bit-exact), not real speedup — on a real
+TPU slice the same harness measures true ICI scaling.
+
+Run: python scripts/scaling_report.py [out.json]
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+if jax.default_backend() not in ("tpu",):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/plonky2_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+from plonky2_tpu.field import reference as ref  # noqa: E402
+from plonky2_tpu.field.goldilocks import GF  # noqa: E402
+from plonky2_tpu.parallel.ntt_sharded import coset_lde_large  # noqa: E402
+from plonky2_tpu.parallel.sharding import commit_sharded, make_mesh  # noqa: E402
+
+
+def bench(fn, ready, iters=3):
+    out = fn()
+    jax.block_until_ready(ready(out))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(ready(out))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    n_avail = len(jax.devices())
+    counts = [d for d in (1, 2, 4, 8) if d <= n_avail]
+    rng = np.random.default_rng(0)
+
+    lg_n, rate_bits = 14, 3          # LDE to 2^17 per polynomial
+    poly = GF.from_u64(rng.integers(0, ref.ORDER, size=(1 << lg_n,),
+                                    dtype=np.uint64))
+    num_polys, lg_c = 32, 10         # commit: 32 columns of 2^10
+    coeffs = GF.from_u64(rng.integers(
+        0, ref.ORDER, size=(num_polys, 1 << lg_c), dtype=np.uint64))
+
+    report = {"backend": jax.default_backend(),
+              "devices_available": n_avail,
+              "note": ("virtual CPU devices share one physical core on the "
+                       "CI box: this validates the sharded programs, not "
+                       "real speedup"),
+              "four_step_lde": {}, "column_commit": {}}
+
+    base = None
+    for d in counts:
+        mesh = make_mesh(d, axis="x")
+        lg_n2 = max(6, (d - 1).bit_length() + 1 if d > 1 else 6)
+        dt = bench(lambda: coset_lde_large(poly, mesh, rate_bits,
+                                           lg_n2=lg_n2),
+                   ready=lambda o: o.lo)
+        base = base or dt
+        report["four_step_lde"][str(d)] = {
+            "seconds": round(dt, 5),
+            "speedup": round(base / dt, 3),
+            "efficiency": round(base / dt / d, 3)}
+
+    base = None
+    for d in counts:
+        mesh = make_mesh(d, axis="col")
+        dt = bench(lambda: commit_sharded(mesh, coeffs, rate_bits, 2),
+                   ready=lambda o: o[1][-1].lo)
+        base = base or dt
+        report["column_commit"][str(d)] = {
+            "seconds": round(dt, 5),
+            "speedup": round(base / dt, 3),
+            "efficiency": round(base / dt / d, 3)}
+
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,3 +47,26 @@ def test_unconstrained_stark_e2e():
     trace = stark.generate_trace()
     proof = prove(stark, config, trace, [])
     verify_stark_proof(stark, proof, config)
+
+
+def test_stark_generic_config_keccak():
+    """STARK prove/verify under KeccakGoldilocksConfig (byte digests in the
+    transcript and Merkle caps)."""
+    from plonky2_tpu.hash.hashers import KeccakGoldilocksConfig
+
+    num_rows = 1 << 5
+    config = StarkConfig.standard_fast_config()
+    stark = FibonacciStark(num_rows)
+    from plonky2_tpu.field import reference as ref
+
+    def fib(n, x0, x1):
+        for _ in range(n):
+            x0, x1 = x1, (x0 + x1) % ref.ORDER
+        return x1
+
+    public_inputs = [0, 1, fib(num_rows - 1, 0, 1)]
+    trace = stark.generate_trace(0, 1)
+    proof = prove(stark, config, trace, public_inputs,
+                  gc=KeccakGoldilocksConfig)
+    assert isinstance(proof.proof.trace_cap[0], bytes)
+    verify_stark_proof(stark, proof, config, gc=KeccakGoldilocksConfig)

@@ -26,13 +26,16 @@ def test_fibonacci_stark():
 
 
 def test_fibonacci_stark_rejects_wrong_result():
+    """Tamper a VALID proof's public input (cheaper than re-proving on this
+    1-core box; binding is what's under test)."""
     num_rows = 1 << 5
     config = StarkConfig.standard_fast_config()
     stark = FibonacciStark(num_rows)
-    public_inputs = [0, 1, (fib(num_rows - 1, 0, 1) + 1) % ref.ORDER]
+    public_inputs = [0, 1, fib(num_rows - 1, 0, 1)]
     trace = stark.generate_trace(0, 1)
+    proof = prove(stark, config, trace, public_inputs)
+    proof.public_inputs[2] = (proof.public_inputs[2] + 1) % ref.ORDER
     with pytest.raises(AssertionError):
-        proof = prove(stark, config, trace, public_inputs)
         verify_stark_proof(stark, proof, config)
 
 
