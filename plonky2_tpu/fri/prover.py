@@ -89,8 +89,10 @@ def fri_committed_trees(coeffs: GF2, values: GF2, challenger: Challenger,
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def _pow_wave_fn(witness_pos: int, pow_bits: int, batch: int,
-                 hasher_name: str = "poseidon"):
+def _pow_wave_fn(pow_bits: int, batch: int, hasher_name: str = "poseidon"):
+    """witness_pos is a TRACED argument (mask-select), not a static key: it
+    equals the challenger's input-buffer length, which varies per transcript,
+    and baking it in would recompile the wave for every proof."""
     assert 1 <= pow_bits < 64
     from ..hash.hashers import HASHERS_BY_NAME
     permute_dev = HASHERS_BY_NAME[hasher_name].permute_dev
@@ -98,11 +100,13 @@ def _pow_wave_fn(witness_pos: int, pow_bits: int, batch: int,
     thresh_hi = np.uint32(threshold >> 32)
     thresh_lo = np.uint32(threshold & 0xFFFFFFFF)
 
-    def wave(state: GF, cand_lo, cand_hi):
+    def wave(state: GF, witness_pos, cand_lo, cand_hi):
         # state [12] -> broadcast [batch, 12], overwrite witness position
         st = state.reshape(1, 12).broadcast_to((batch, 12))
-        lo = st.lo.at[:, witness_pos].set(cand_lo)
-        hi = st.hi.at[:, witness_pos].set(cand_hi)
+        col = (jnp.arange(12, dtype=jnp.int32)
+               == witness_pos).reshape(1, 12)
+        lo = jnp.where(col, cand_lo.reshape(batch, 1), st.lo)
+        hi = jnp.where(col, cand_hi.reshape(batch, 1), st.hi)
         out = permute_dev(GF(lo, hi))
         r_lo, r_hi = out.lo[:, ps.SPONGE_RATE - 1], out.hi[:, ps.SPONGE_RATE - 1]
         ok = (r_hi < thresh_hi) | ((r_hi == thresh_hi) & (r_lo < thresh_lo))
@@ -132,18 +136,28 @@ def fri_proof_of_work(challenger: Challenger, pow_bits: int,
 
     hasher = challenger.hasher
     threshold = 1 << (64 - pow_bits)
-    if hasher is not None and getattr(hasher, "permute_dev", None) is None:
+    hasher_name = hasher.name if hasher is not None else "poseidon"
+    native_witness = None
+    if hasher_name == "poseidon" and jax.default_backend() == "cpu":
+        # CPU host: the native C permutation grinds ~1000x faster than the
+        # XLA:CPU lanes kernel (which is laid out for the TPU VPU)
+        native_witness = _pow_grind_native(state, witness_pos, threshold,
+                                           batch)
+    if native_witness is not None:
+        witness = native_witness
+    elif (hasher is not None
+            and getattr(hasher, "permute_dev", None) is None):
         witness = _pow_grind_host(hasher, state, witness_pos, threshold,
                                   batch)
     else:
-        hasher_name = hasher.name if hasher is not None else "poseidon"
         gf_state = GF.from_u64(np.array(state, dtype=np.uint64))
-        wave_fn = _pow_wave_fn(witness_pos, pow_bits, batch, hasher_name)
+        wave_fn = _pow_wave_fn(pow_bits, batch, hasher_name)
+        pos = np.int32(witness_pos)
         start = 0
         while True:
             cands = start + np.arange(batch, dtype=np.uint64)
             c = GF.from_u64(cands)
-            idx, found = wave_fn(gf_state, c.lo, c.hi)
+            idx, found = wave_fn(gf_state, pos, c.lo, c.hi)
             if bool(found):
                 witness = start + int(idx)
                 break
@@ -155,6 +169,27 @@ def fri_proof_of_work(challenger: Challenger, pow_bits: int,
     response = challenger.get_challenge()
     assert response < (1 << (64 - pow_bits))
     return witness
+
+
+def _pow_grind_native(state: list[int], witness_pos: int, threshold: int,
+                      batch: int) -> int | None:
+    """Grind through the native C Poseidon (plonky2_tpu/native); None if the
+    library is unavailable (callers fall back to the device wave)."""
+    from ..native import permute_many
+    base = np.array(state, dtype=np.uint64)
+    start = 0
+    while True:
+        states = np.tile(base, (batch, 1))
+        states[:, witness_pos] = start + np.arange(batch, dtype=np.uint64)
+        out = permute_many(states)
+        if out is None:
+            return None
+        ok = out[:, ps.SPONGE_RATE - 1] < np.uint64(threshold)
+        hits = np.nonzero(ok)[0]
+        if len(hits):
+            return start + int(hits[0])
+        start += batch
+        assert start < (1 << 40), "PoW grind failed (astronomically unlikely)"
 
 
 def _pow_grind_host(hasher, state: list[int], witness_pos: int,

@@ -75,3 +75,17 @@ def permute(state):
                                    for x in state])
     lib.poseidon_permute(buf)
     return list(buf)
+
+
+def permute_many(states):
+    """states: uint64 ndarray [n, 12] -> permuted copy, or None if no
+    native lib (used by the FRI proof-of-work grind on CPU hosts, where
+    the XLA lanes kernel is ~1000x slower than this C loop)."""
+    lib = load()
+    if lib is None:
+        return None
+    import numpy as np
+    buf = np.ascontiguousarray(states, dtype=np.uint64).copy()
+    lib.poseidon_permute_many(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), buf.shape[0])
+    return buf

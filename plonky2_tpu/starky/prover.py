@@ -216,7 +216,7 @@ _HELPER_FNS: dict = {}
 
 def _helper_columns_fn(stark, config, degree_bits: int):
     """Jitted: trace [cols, n] + challenges [nc] -> aux columns [na, n]."""
-    key = (id(stark), config.num_challenges, degree_bits)
+    key = (stark.jit_key(), config.num_challenges, degree_bits)
     if key in _HELPER_FNS:
         return _HELPER_FNS[key]
     degree = stark.constraint_degree()
@@ -263,7 +263,10 @@ def _compute_quotient_polys(stark, config, trace_commitment, aux_commitment,
 
 def _stark_quotient_fn(stark, config, degree_bits: int, next_step: int,
                        ctls=None, table: int = 0):
-    key = (id(stark), id(config), degree_bits, next_step, id(ctls), table)
+    # structural key: CTL tables with identical starks/configs share one
+    # compiled quotient program (frozen dataclasses are hashable)
+    key = (stark.jit_key(), config, degree_bits, next_step,
+           tuple(ctls) if ctls is not None else None, table)
     if key in _STARK_QUOTIENT_FNS:
         return _STARK_QUOTIENT_FNS[key]
 

@@ -58,6 +58,24 @@ class Stark:
     COLUMNS: int = 0
     PUBLIC_INPUTS: int = 0
 
+    def jit_key(self):
+        """Structural identity for jit-program caching: two stark instances
+        of the same class with equal scalar attributes trace to identical
+        programs, so their compiled provers are shared (e.g. the two tables
+        of a CTL system, or repeated instances across a test session). Any
+        non-scalar attribute falls back to per-instance identity — sharing
+        is an optimization, a wrong share would be unsound."""
+        items = []
+        for k, v in sorted(vars(self).items()):
+            if isinstance(v, (int, float, bool, str, bytes, type(None))):
+                items.append((k, v))
+            elif isinstance(v, tuple) and all(
+                    isinstance(x, (int, float, bool, str)) for x in v):
+                items.append((k, v))
+            else:
+                return (type(self).__qualname__, id(self))
+        return (type(self).__qualname__, tuple(items))
+
     def constraint_degree(self) -> int:
         raise NotImplementedError
 

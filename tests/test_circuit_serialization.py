@@ -3,6 +3,7 @@ read/write_circuit_data:802,1812; circuit_data.rs:142-332 Mock/Prover/
 Verifier splits; exercised like examples/fibonacci_serialization.rs)."""
 
 import numpy as np
+import pytest
 
 from plonky2_tpu.iop.witness import PartialWitness
 from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
@@ -15,7 +16,10 @@ from plonky2_tpu.utils.circuit_serialization import (
 )
 
 
-def _circuit():
+@pytest.fixture(scope="module")
+def circuit():
+    """One shared build for all roundtrip tests (building is expensive on
+    this 1-core box; serialization itself is what's under test)."""
     builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
     a = builder.add_virtual_target()
     b = builder.add_virtual_target()
@@ -34,8 +38,8 @@ def _circuit():
     return data, pw
 
 
-def test_circuit_data_roundtrip_build_save_reload_prove_verify():
-    data, pw = _circuit()
+def test_circuit_data_roundtrip_build_save_reload_prove_verify(circuit):
+    data, pw = circuit
     blob = serialize_circuit_data(data)
     restored = deserialize_circuit_data(blob)
     assert restored.common.same_shape(data.common)
@@ -51,8 +55,8 @@ def test_circuit_data_roundtrip_build_save_reload_prove_verify():
     data.verify(proof)          # original accepts reloaded prover's proof
 
 
-def test_common_circuit_data_roundtrip():
-    data, _ = _circuit()
+def test_common_circuit_data_roundtrip(circuit):
+    data, _ = circuit
     blob = serialize_common_circuit_data(data.common)
     common = deserialize_common_circuit_data(blob)
     assert common.same_shape(data.common)
@@ -61,8 +65,8 @@ def test_common_circuit_data_roundtrip():
                                               for g in data.common.gates]
 
 
-def test_prover_verifier_splits_roundtrip():
-    data, pw = _circuit()
+def test_prover_verifier_splits_roundtrip(circuit):
+    data, pw = circuit
     pcd = data.prover_data()
     vcd = data.verifier_data()
     pblob = serialize_prover_circuit_data(pcd)
@@ -73,8 +77,8 @@ def test_prover_verifier_splits_roundtrip():
     verifier.verify(proof)
 
 
-def test_mock_circuit_data_generates_witness_only():
-    data, pw = _circuit()
+def test_mock_circuit_data_generates_witness_only(circuit):
+    data, pw = circuit
     mock = data.mock()
     witness = mock.generate_witness(pw)
     full = witness.full_witness()

@@ -31,10 +31,22 @@ def _fib_circuit(gc):
     return data, pw
 
 
-def _prove_verify_tamper(gc):
-    data, pw = _fib_circuit(gc)
+@pytest.fixture(scope="module")
+def keccak_proof():
+    """One shared Keccak-config build+prove for all keccak tests (proving is
+    expensive on this 1-core box)."""
+    data, pw = _fib_circuit(KeccakGoldilocksConfig)
+    return data, data.prove(pw)
+
+
+@pytest.fixture(scope="module")
+def poseidon2_proof():
+    data, pw = _fib_circuit(Poseidon2GoldilocksConfig)
+    return data, data.prove(pw)
+
+
+def _verify_tamper(gc, data, proof):
     assert data.common.gc.name == gc.name
-    proof = data.prove(pw)
     assert proof.public_inputs[2] == 10946  # fib(21)
     data.verify(proof)
     # Fiat-Shamir binding: tampering a public input must fail
@@ -45,41 +57,40 @@ def _prove_verify_tamper(gc):
         data.verify(bad)
 
 
-def test_poseidon2_config_e2e():
-    _prove_verify_tamper(Poseidon2GoldilocksConfig)
+def test_poseidon2_config_e2e(poseidon2_proof):
+    _verify_tamper(Poseidon2GoldilocksConfig, *poseidon2_proof)
 
 
-def test_keccak_config_e2e():
-    _prove_verify_tamper(KeccakGoldilocksConfig)
+def test_keccak_config_e2e(keccak_proof):
+    _verify_tamper(KeccakGoldilocksConfig, *keccak_proof)
 
 
 def test_poseidon_bn128_config_e2e():
-    _prove_verify_tamper(PoseidonBN128GoldilocksConfig)
-
-
-def test_keccak_digests_are_bytes():
-    data, pw = _fib_circuit(KeccakGoldilocksConfig)
+    data, pw = _fib_circuit(PoseidonBN128GoldilocksConfig)
     proof = data.prove(pw)
+    _verify_tamper(PoseidonBN128GoldilocksConfig, data, proof)
+
+
+def test_keccak_digests_are_bytes(keccak_proof):
+    data, proof = keccak_proof
     assert isinstance(proof.proof.wires_cap[0], bytes)
     assert len(proof.proof.wires_cap[0]) == 25
     assert isinstance(data.verifier_only.circuit_digest, bytes)
 
 
-def test_serialization_roundtrip_keccak():
+def test_serialization_roundtrip_keccak(keccak_proof):
     from plonky2_tpu.utils.serialization import (
         deserialize_proof_with_pis, serialize_proof_with_pis,
     )
-    data, pw = _fib_circuit(KeccakGoldilocksConfig)
-    proof = data.prove(pw)
+    data, proof = keccak_proof
     blob = serialize_proof_with_pis(proof, data.common)
     restored = deserialize_proof_with_pis(blob, data.common)
     assert blob == serialize_proof_with_pis(restored, data.common)
     data.verify(restored)
 
 
-def test_compressed_proof_roundtrip_poseidon2():
-    data, pw = _fib_circuit(Poseidon2GoldilocksConfig)
-    proof = data.prove(pw)
+def test_compressed_proof_roundtrip_poseidon2(poseidon2_proof):
+    data, proof = poseidon2_proof
     comp = data.compress(proof)
     data.verify_compressed(comp)
 

@@ -1,5 +1,7 @@
 """STARK prover/verifier e2e (reference: starky fibonacci_stark tests)."""
 
+import copy
+
 import pytest
 
 from plonky2_tpu.field import reference as ref
@@ -15,51 +17,57 @@ def fib(n, x0, x1):
     return x1
 
 
-def test_fibonacci_stark():
-    num_rows = 1 << 5
+NUM_ROWS = 1 << 5
+
+
+@pytest.fixture(scope="module")
+def fib_stark_proof():
+    """One shared fibonacci STARK proof (proving is expensive on this 1-core
+    box; consumers deepcopy before tampering)."""
     config = StarkConfig.standard_fast_config()
-    stark = FibonacciStark(num_rows)
-    public_inputs = [0, 1, fib(num_rows - 1, 0, 1)]
+    stark = FibonacciStark(NUM_ROWS)
+    public_inputs = [0, 1, fib(NUM_ROWS - 1, 0, 1)]
     trace = stark.generate_trace(0, 1)
-    proof = prove(stark, config, trace, public_inputs)
+    return stark, config, prove(stark, config, trace, public_inputs)
+
+
+def test_fibonacci_stark(fib_stark_proof):
+    stark, config, proof = fib_stark_proof
     verify_stark_proof(stark, proof, config)
 
 
-def test_fibonacci_stark_rejects_wrong_result():
+def test_fibonacci_stark_rejects_wrong_result(fib_stark_proof):
     """Tamper a VALID proof's public input (cheaper than re-proving on this
     1-core box; binding is what's under test)."""
-    num_rows = 1 << 5
-    config = StarkConfig.standard_fast_config()
-    stark = FibonacciStark(num_rows)
-    public_inputs = [0, 1, fib(num_rows - 1, 0, 1)]
-    trace = stark.generate_trace(0, 1)
-    proof = prove(stark, config, trace, public_inputs)
-    proof.public_inputs[2] = (proof.public_inputs[2] + 1) % ref.ORDER
+    stark, config, proof = fib_stark_proof
+    bad = copy.deepcopy(proof)
+    bad.public_inputs[2] = (bad.public_inputs[2] + 1) % ref.ORDER
     with pytest.raises(AssertionError):
-        verify_stark_proof(stark, proof, config)
+        verify_stark_proof(stark, bad, config)
 
 
-def test_permutation_stark_logup():
+@pytest.fixture(scope="module")
+def perm_stark():
+    from plonky2_tpu.starky.permutation_stark import PermutationStark
+    return PermutationStark(), StarkConfig.standard_fast_config()
+
+
+def test_permutation_stark_logup(perm_stark):
     """logUp lookup argument end-to-end (reference:
     starky/src/permutation_stark.rs tests)."""
-    from plonky2_tpu.starky.permutation_stark import PermutationStark
-
-    num_rows = 1 << 5
-    config = StarkConfig.standard_fast_config()
-    stark = PermutationStark()
-    trace = stark.generate_trace(7, num_rows)
+    stark, config = perm_stark
+    trace = stark.generate_trace(7, NUM_ROWS)
     proof = prove(stark, config, trace, [7])
     assert proof.proof.auxiliary_polys_cap is not None
     verify_stark_proof(stark, proof, config)
 
 
-def test_permutation_stark_rejects_non_permutation():
-    from plonky2_tpu.starky.permutation_stark import PermutationStark
-
-    num_rows = 1 << 5
-    config = StarkConfig.standard_fast_config()
-    stark = PermutationStark()
-    trace = stark.generate_trace(7, num_rows)
+def test_permutation_stark_rejects_non_permutation(perm_stark):
+    """Proving a NON-permutation trace must yield a rejected proof (the
+    compiled prover programs are shared with the valid run above via
+    Stark.jit_key, so this re-prove costs runtime only)."""
+    stark, config = perm_stark
+    trace = stark.generate_trace(7, NUM_ROWS)
     trace[0][3] = 12345  # no longer a permutation of column 1
     with pytest.raises(AssertionError):
         proof = prove(stark, config, trace, [7])
