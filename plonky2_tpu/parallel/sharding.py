@@ -29,16 +29,22 @@ def make_mesh(n_devices: int | None = None, axis: str = "col") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-def commit_sharded(mesh: Mesh, coeffs: GF, rate_bits: int, cap_height: int):
-    """Polynomial-batch commit with columns sharded over the mesh.
+_COMMIT_FNS: dict = {}
 
-    coeffs: GF [num_polys, n] with num_polys % n_devices == 0.
-    Returns (leaves GF [N, num_polys] bit-reversed-row order, layers tuple).
-    """
-    num, n = coeffs.shape
+
+def _mesh_key(mesh: Mesh) -> tuple:
+    return tuple(d.id for d in mesh.devices.flat) + mesh.axis_names
+
+
+def _commit_sharded_fn(mesh: Mesh, num: int, n: int, rate_bits: int,
+                       cap_height: int):
+    """One traced program per (mesh, shape) — callers loop over proofs and
+    benchmark iterations without paying a retrace per call."""
+    key = (_mesh_key(mesh), num, n, rate_bits, cap_height)
+    if key in _COMMIT_FNS:
+        return _COMMIT_FNS[key]
     N = n << rate_bits
     col_sharded = NamedSharding(mesh, P("col", None))
-    row_sharded = NamedSharding(mesh, P(None, "col"))
     rev = jnp.asarray(reverse_index_bits_perm(N))
 
     @partial(jax.jit,
@@ -52,6 +58,18 @@ def commit_sharded(mesh: Mesh, coeffs: GF, rate_bits: int, cap_height: int):
         return (leaves.lo, leaves.hi), tuple(
             (l.lo, l.hi) for l in layers)
 
+    _COMMIT_FNS[key] = commit
+    return commit
+
+
+def commit_sharded(mesh: Mesh, coeffs: GF, rate_bits: int, cap_height: int):
+    """Polynomial-batch commit with columns sharded over the mesh.
+
+    coeffs: GF [num_polys, n] with num_polys % n_devices == 0.
+    Returns (leaves GF [N, num_polys] bit-reversed-row order, layers tuple).
+    """
+    num, n = coeffs.shape
+    commit = _commit_sharded_fn(mesh, num, n, rate_bits, cap_height)
     (llo, lhi), layers = commit(coeffs.lo, coeffs.hi)
     return GF(llo, lhi), tuple(GF(lo, hi) for lo, hi in layers)
 
@@ -62,18 +80,21 @@ def training_step_sharded(mesh: Mesh, wires: GF, rate_bits: int,
     (data parallel), coset LDE, transpose (ICI all-to-all), Merkle layers.
     This is the multichip compile-check entry (see __graft_entry__)."""
     num, n = wires.shape
-    col_sharded = NamedSharding(mesh, P("col", None))
-    N = n << rate_bits
-    rev = jnp.asarray(reverse_index_bits_perm(N))
+    key = ("step", _mesh_key(mesh), num, n, rate_bits, cap_height)
+    if key not in _COMMIT_FNS:
+        col_sharded = NamedSharding(mesh, P("col", None))
+        N = n << rate_bits
+        rev = jnp.asarray(reverse_index_bits_perm(N))
 
-    @partial(jax.jit, in_shardings=(col_sharded, col_sharded))
-    def step(lo, hi):
-        values = GF(lo, hi)
-        coeffs = ntt.ifft(values)
-        lde = ntt.coset_lde(coeffs, rate_bits)
-        leaves = lde.transpose(1, 0).take(rev, axis=0)
-        layers = build_layers(leaves, cap_height)
-        cap = layers[-1]
-        return cap.lo, cap.hi
+        @partial(jax.jit, in_shardings=(col_sharded, col_sharded))
+        def step(lo, hi):
+            values = GF(lo, hi)
+            coeffs = ntt.ifft(values)
+            lde = ntt.coset_lde(coeffs, rate_bits)
+            leaves = lde.transpose(1, 0).take(rev, axis=0)
+            layers = build_layers(leaves, cap_height)
+            cap = layers[-1]
+            return cap.lo, cap.hi
 
-    return step(wires.lo, wires.hi)
+        _COMMIT_FNS[key] = step
+    return _COMMIT_FNS[key](wires.lo, wires.hi)

@@ -14,8 +14,9 @@ from .vanishing import eval_vanishing_poly_at_zeta
 def verify(proof_with_pis: ProofWithPublicInputs,
            verifier_data: VerifierOnlyData,
            common: CommonCircuitData) -> None:
+    from .validate_shape import validate_proof_with_pis_shape
+    validate_proof_with_pis_shape(proof_with_pis, common)
     proof = proof_with_pis.proof
-    assert len(proof_with_pis.public_inputs) == common.num_public_inputs
     public_inputs_hash = common.gc.hash_public_inputs(
         [x % ref.ORDER for x in proof_with_pis.public_inputs])
     challenges = get_challenges(proof_with_pis, public_inputs_hash,

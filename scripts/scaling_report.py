@@ -21,10 +21,17 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
+
 import jax  # noqa: E402
 
-if jax.default_backend() not in ("tpu",):
-    jax.config.update("jax_platforms", "cpu")
+# Pin the platform BEFORE any backend initialization: probing
+# jax.default_backend() first would initialize the TPU plugin, which blocks
+# indefinitely when the TPU tunnel is down. Default is CPU (the
+# 8-virtual-device validation mesh); set PLONKY2_TPU_SCALING_PLATFORM to a
+# real TPU platform to measure true ICI scaling on a slice. NOTE: must be
+# jax.config.update (the env-var route hangs on this box's axon shim).
+jax.config.update("jax_platforms",
+                  os.environ.get("PLONKY2_TPU_SCALING_PLATFORM", "cpu"))
 jax.config.update("jax_compilation_cache_dir", "/tmp/plonky2_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

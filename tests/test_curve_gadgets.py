@@ -53,6 +53,41 @@ def test_curve_add_double_valid():
 
 @pytest.mark.slow
 @pytest.mark.skipif("PLONKY2_TPU_HEAVY" not in __import__("os").environ,
+                    reason="two 320-bit scalar-mul circuits: hour-scale "
+                           "build on this 1-core box; set PLONKY2_TPU_HEAVY=1")
+def test_ecdsa_verify_message_circuit():
+    """Full in-circuit ECDSA verification witness e2e (reference:
+    ecdsa/src/gadgets/ecdsa.rs test_ecdsa_circuit_narrow): sign natively,
+    verify in-circuit, every gate row must be satisfied."""
+    from plonky2_tpu.ecdsa.curve import ECDSASecretKey, sign_message
+    from plonky2_tpu.ecdsa.curve_gadgets import (
+        ECDSAPublicKeyTarget, ECDSASignatureTarget, verify_message_circuit,
+    )
+
+    builder = CircuitBuilder(CircuitConfig.standard_ecc_config())
+    msg_val = rng.randrange(1, native.N)
+    sk = ECDSASecretKey(rng.randrange(1, native.N))
+    pk_val = sk.to_public()
+    sig_val = sign_message(msg_val, sk, k=0xABCDEF0123456789)
+
+    msg = builder.add_virtual_nonnative_target(native.N)
+    r = builder.add_virtual_nonnative_target(native.N)
+    s = builder.add_virtual_nonnative_target(native.N)
+    pk = ECDSAPublicKeyTarget(builder.add_virtual_affine_point_target())
+    verify_message_circuit(builder, msg, ECDSASignatureTarget(r, s), pk)
+    data = builder.build()
+
+    pw = PartialWitness()
+    set_nonnative_target(pw, msg, msg_val)
+    set_nonnative_target(pw, r, sig_val.r)
+    set_nonnative_target(pw, s, sig_val.s)
+    set_affine_point_target(pw, pk.point, pk_val.point)
+    witness = generate_partial_witness(pw, data.prover_only, data.common)
+    _check_all_rows(data, witness)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif("PLONKY2_TPU_HEAVY" not in __import__("os").environ,
                     reason="320-bit scalar-mul circuit: hour-scale build on "
                            "this 1-core box; set PLONKY2_TPU_HEAVY=1")
 def test_curve_scalar_mul_and_glv():

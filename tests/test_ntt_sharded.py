@@ -57,6 +57,39 @@ def test_coset_lde_large_nondefault_shift():
     np.testing.assert_array_equal(got, want)
 
 
+def test_multihost_helpers_single_process():
+    """multihost.global_mesh + host_local_to_global on the single-process
+    8-device mesh: a 2D ("col" x "x") mesh carves 4-way column parallelism
+    with 2-way sequence parallelism, and the lifted global array commits
+    identically to the host-side path (the multi-host entry surface,
+    degraded to one process)."""
+    from jax.sharding import PartitionSpec as P
+
+    from plonky2_tpu.fri.oracle import PolynomialBatch
+    from plonky2_tpu.parallel.multihost import (
+        global_mesh, host_local_to_global,
+    )
+    from plonky2_tpu.parallel.sharding import commit_sharded
+
+    mesh2d = global_mesh(seq_parallel=2)
+    assert mesh2d.devices.shape == (4, 2)
+    assert mesh2d.axis_names == ("col", "x")
+
+    mesh = global_mesh()                      # 1D, all 8 devices on "col"
+    rng = np.random.default_rng(11)
+    num, n, rate_bits, cap_height = 16, 1 << 6, 3, 2
+    coeffs_np = rng.integers(0, ref.ORDER, size=(num, n), dtype=np.uint64)
+    coeffs = GF.from_u64(coeffs_np)
+    lo, hi = host_local_to_global(np.asarray(coeffs.lo), np.asarray(coeffs.hi),
+                                  mesh, P("col", None))
+    leaves_sharded, layers_sharded = commit_sharded(
+        mesh, GF(lo, hi), rate_bits, cap_height)
+    batch = PolynomialBatch.from_coeffs(coeffs, rate_bits, False, cap_height)
+    np.testing.assert_array_equal(
+        np.asarray(layers_sharded[-1].to_u64()),
+        np.asarray(batch.merkle_tree.cap_u64()))
+
+
 def test_sharded_commit_matches_unsharded():
     """Column-DP sharded commit must equal the single-device commit
     bit-exactly: same leaves, same Merkle cap."""
