@@ -151,16 +151,25 @@ def deserialize_proof_with_pis(data: bytes, common) -> ProofWithPublicInputs:
         public_inputs=public_inputs)
 
 
+def _write_merkle_proof(buf: Buffer, sibs) -> None:
+    """u8 sibling count, then the sibling digests (reference:
+    serialization/mod.rs:1467 write_merkle_proof)."""
+    n = len(sibs)
+    assert n < 256, "Merkle proof length must fit in u8"
+    buf.write_u8(n)
+    buf.write_cap(sibs)
+
+
 def _write_fri_proof(buf: Buffer, fp: FriProof) -> None:
     for cap in fp.commit_phase_merkle_caps:
         buf.write_cap(cap)
     for qr in fp.query_round_proofs:
         for evals, sibs in qr.initial_trees_proof.evals_proofs:
             buf.write_field_vec([int(x) for x in evals])
-            buf.write_cap(sibs)
+            _write_merkle_proof(buf, sibs)
         for step in qr.steps:
             buf.write_ext_vec(step.evals)
-            buf.write_cap(step.merkle_proof)
+            _write_merkle_proof(buf, step.merkle_proof)
     buf.write_ext_vec(fp.final_poly)
     buf.write_field(int(fp.pow_witness))
 
@@ -170,9 +179,9 @@ def _read_fri_proof(buf: Buffer, fri_params, num_leaves_per_oracle,
     cap_height = fri_params.config.cap_height
     caps = [buf.read_cap(cap_height, hasher)
             for _ in fri_params.reduction_arity_bits]
-    mp_len0 = fri_params.lde_bits - cap_height
 
-    def read_sibs(k):
+    def read_merkle_proof():
+        k = buf.read_u8()
         if hasher is not None and not hasher.algebraic:
             return [buf.read_hash(hasher) for _ in range(k)]
         return np.asarray([buf.read_hash() for _ in range(k)],
@@ -183,14 +192,12 @@ def _read_fri_proof(buf: Buffer, fri_params, num_leaves_per_oracle,
         evals_proofs = []
         for n_leaves in num_leaves_per_oracle:
             evals = np.asarray(buf.read_field_vec(n_leaves), dtype=np.uint64)
-            evals_proofs.append((evals, read_sibs(mp_len0)))
+            evals_proofs.append((evals, read_merkle_proof()))
         steps = []
-        mp_len = mp_len0
         for arity_bits in fri_params.reduction_arity_bits:
-            mp_len -= arity_bits
             evals = buf.read_ext_vec(1 << arity_bits)
             steps.append(FriQueryStep(evals=evals,
-                                      merkle_proof=read_sibs(mp_len)))
+                                      merkle_proof=read_merkle_proof()))
         rounds.append(FriQueryRound(
             initial_trees_proof=FriInitialTreeProof(evals_proofs=evals_proofs),
             steps=steps))
@@ -205,8 +212,13 @@ def _read_fri_proof(buf: Buffer, fri_params, num_leaves_per_oracle,
 # ---------------------------------------------------------------------------
 
 def serialize_verifier_data(vd) -> bytes:
+    """reference: serialization/mod.rs:1924 write_verifier_only_circuit_data
+    — the cap is prefixed by its HEIGHT (log2 of its length), not length."""
     buf = Buffer()
-    buf.write_usize(len(vd.constants_sigmas_cap))
+    n = len(vd.constants_sigmas_cap)
+    height = n.bit_length() - 1
+    assert 1 << height == n, n
+    buf.write_usize(height)
     buf.write_cap(vd.constants_sigmas_cap)
     buf.write_hash(vd.circuit_digest)
     return buf.bytes()
@@ -215,7 +227,7 @@ def serialize_verifier_data(vd) -> bytes:
 def deserialize_verifier_data(data: bytes):
     from ..plonk.circuit_data import VerifierOnlyData
     buf = Buffer(data)
-    n = buf.read_usize()
+    n = 1 << buf.read_usize()
     cap = [buf.read_hash() for _ in range(n)]
     digest = buf.read_hash()
     return VerifierOnlyData(constants_sigmas_cap=cap, circuit_digest=digest)
@@ -239,27 +251,25 @@ def serialize_compressed_proof_with_pis(cpwp, common) -> bytes:
     fp = p.opening_proof
     for cap in fp.commit_phase_merkle_caps:
         buf.write_cap([[int(x) for x in h] for h in cap])
+    # reference: serialization/mod.rs:2032 write_compressed_fri_query_rounds
+    # — indices as raw u32 (count = num_query_rounds from common data), then
+    # the dedup'd maps in sorted-key order with NO counts or keys (the
+    # reader reconstructs keys by replaying the index folding)
     qrp = fp.query_round_proofs
-    buf.write_usize(len(qrp.indices))
     for i in qrp.indices:
-        buf.write_usize(i)
-    buf.write_usize(len(qrp.initial_trees_proofs))
+        buf.write_u32(i)
     for idx in sorted(qrp.initial_trees_proofs):
-        buf.write_usize(idx)
         itp = qrp.initial_trees_proofs[idx]
         for evals, sibs in itp.evals_proofs:
             buf.write_field_vec([int(x) for x in evals])
-            buf.write_usize(len(sibs))
-            buf.write_cap([[int(x) for x in s] for s in sibs])
+            _write_merkle_proof(buf, [[int(x) for x in s] for s in sibs])
     for level in qrp.steps:
-        buf.write_usize(len(level))
         for idx in sorted(level):
-            buf.write_usize(idx)
             step = level[idx]
-            buf.write_usize(len(step.evals))
             buf.write_ext_vec(step.evals)
-            buf.write_usize(len(step.merkle_proof))
-            buf.write_cap([[int(x) for x in s] for s in step.merkle_proof])
+            _write_merkle_proof(buf,
+                                [[int(x) for x in s]
+                                 for s in step.merkle_proof])
     buf.write_ext_vec(fp.final_poly)
     buf.write_field(int(fp.pow_witness))
     buf.write_field_vec(cpwp.public_inputs)
@@ -291,26 +301,31 @@ def deserialize_compressed_proof_with_pis(data: bytes, common):
     num_leaves = [common.num_preprocessed_polys, common.config.num_wires,
                   common.num_zs_partial_products_polys,
                   common.num_quotient_polys]
-    indices = [buf.read_usize() for _ in range(buf.read_usize())]
+    # reference: serialization/mod.rs:1039 read_compressed_fri_query_rounds
+    # — counts and keys are reconstructed from the query indices by
+    # replaying the per-level index folding
+    original_indices = [buf.read_u32()
+                        for _ in range(fri_params.config.num_query_rounds)]
+    idx_work = sorted(set(original_indices))
     initial = {}
-    for _ in range(buf.read_usize()):
-        idx = buf.read_usize()
+    for idx in idx_work:
         evals_proofs = []
         for n_leaves in num_leaves:
             evals = buf.read_field_vec(n_leaves)
-            n_sibs = buf.read_usize()
+            n_sibs = buf.read_u8()
             sibs = [buf.read_hash() for _ in range(n_sibs)]
             evals_proofs.append((evals, sibs))
         initial[idx] = FriInitialTreeProof(evals_proofs=evals_proofs)
     steps = []
-    for _ in fri_params.reduction_arity_bits:
+    for arity_bits in fri_params.reduction_arity_bits:
+        idx_work = sorted(set(i >> arity_bits for i in idx_work))
         level = {}
-        for _ in range(buf.read_usize()):
-            idx = buf.read_usize()
-            evals = buf.read_ext_vec(buf.read_usize())
-            sibs = [buf.read_hash() for _ in range(buf.read_usize())]
+        for idx in idx_work:
+            evals = buf.read_ext_vec((1 << arity_bits) - 1)
+            sibs = [buf.read_hash() for _ in range(buf.read_u8())]
             level[idx] = FriQueryStep(evals=evals, merkle_proof=sibs)
         steps.append(level)
+    indices = original_indices
     final_poly = buf.read_ext_vec(fri_params.final_poly_len)
     pow_witness = buf.read_field()
     public_inputs = buf.read_field_vec(common.num_public_inputs)
