@@ -255,6 +255,10 @@ def main():
     if os.environ.get("PLONKY2_TPU_BENCH_RECURSION"):
         steps.append(bench_recursion_chain)
     steps.append(bench_headline)
+    only = os.environ.get("PLONKY2_TPU_BENCH_ONLY")
+    if only:   # comma-separated step names, e.g. "bench_recursion_chain"
+        names = {s.strip() for s in only.split(",")}
+        steps = [s for s in steps if s.__name__ in names]
     # soft wall-clock budget: on the CPU fallback XLA:CPU compiles can cost
     # minutes per shape; always run the headline metric, skip other steps
     # once the budget is spent so the driver's bench run stays bounded
