@@ -144,6 +144,117 @@ def _four_step_local(m: GF, lg_n: int, lg_n1: int, lg_n2: int,
     return out
 
 
+def _four_step_local_batched(m: GF, lg_n: int, lg_n1: int, lg_n2: int,
+                             axis: str, rate_bits: int, shift: int | None):
+    """Batched shard_map body: m [b_local, N2/D, n_cols] — a block of
+    polynomials (batch axis sharded on ANOTHER mesh axis) each spanning the
+    `axis` devices. Same four steps as `_four_step_local` with a leading
+    batch dim; the all_to_alls exchange only along `axis`, so batch
+    parallelism and sequence parallelism compose without extra traffic."""
+    d = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    n1 = 1 << lg_n1
+    n2 = 1 << lg_n2
+    rows_local = n2 // d
+    b = m.shape[0]
+
+    if shift is not None:
+        n_cols = m.shape[-1]
+        col_pows = ntt._shift_powers(ref.exp(shift, n2), n_cols)
+        row_base = ntt._shift_powers(shift, n2)
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows_local,), 0) \
+            + jnp.int32(idx * rows_local)
+        row_pows = GF(jnp.take(row_base.lo, r), jnp.take(row_base.hi, r))
+        m = m * col_pows.reshape(1, 1, n_cols).broadcast_to(m.shape)
+        m = m * row_pows.reshape(1, rows_local, 1).broadcast_to(m.shape)
+
+    y = ntt.lde_fft(m, rate_bits) if rate_bits else ntt.fft(m)
+
+    # middle twiddles w_N^{j2*k1}, identical for every batch element
+    (u_lo, u_hi), (v_lo, v_hi), h = _twiddle_factor_tables(
+        lg_n, lg_n1, lg_n2)
+    r = jax.lax.broadcasted_iota(jnp.uint32, (rows_local,), 0) \
+        + jnp.uint32(idx * rows_local)
+    hi_idx = (r >> h).astype(jnp.int32)
+    lo_idx = (r & ((1 << h) - 1)).astype(jnp.int32)
+    tu = GF(jnp.take(jnp.asarray(u_lo), hi_idx, axis=0),
+            jnp.take(jnp.asarray(u_hi), hi_idx, axis=0))    # [rows, N1]
+    tv = GF(jnp.take(jnp.asarray(v_lo), lo_idx, axis=0),
+            jnp.take(jnp.asarray(v_hi), lo_idx, axis=0))
+    tw = (tu * tv).reshape(1, rows_local, n1)
+    y = y * tw.broadcast_to(y.shape)
+
+    y3 = y.reshape(b, rows_local, d, n1 // d)
+    lo = jax.lax.all_to_all(y3.lo, axis, split_axis=2, concat_axis=1,
+                            tiled=False)
+    hi = jax.lax.all_to_all(y3.hi, axis, split_axis=2, concat_axis=1,
+                            tiled=False)
+    z = GF(lo.reshape(b, n2, n1 // d), hi.reshape(b, n2, n1 // d))
+
+    zt = ntt.fft(z.transpose(0, 2, 1))                  # [b, N1/D, N2]
+
+    z4 = zt.reshape(b, n1 // d, d, n2 // d)
+    lo = jax.lax.all_to_all(z4.lo, axis, split_axis=2, concat_axis=1,
+                            tiled=False)
+    hi = jax.lax.all_to_all(z4.hi, axis, split_axis=2, concat_axis=1,
+                            tiled=False)
+    xt = GF(lo.reshape(b, n1, n2 // d), hi.reshape(b, n1, n2 // d))
+    return xt.transpose(0, 2, 1).reshape(b, rows_local * n1)
+
+
+@lru_cache(maxsize=None)
+def _lde_batch_2d_fn(lg_n: int, lg_n2: int, rate_bits: int,
+                     shift: int | None, mesh_key):
+    """Batch-of-polynomials coset LDE over a 2D mesh (batch_axis, seq_axis):
+    each polynomial spans the seq axis via the four-step NTT while distinct
+    polynomials ride the batch axis — the composed data-parallel ×
+    sequence-parallel program. Input coeffs [B, n_in]; output [B, N]
+    natural order, sharded (batch_axis, seq_axis)."""
+    mesh = _MESHES[mesh_key]
+    batch_axis, seq_axis = mesh.axis_names
+    lg_n1 = lg_n - lg_n2
+    n2 = 1 << lg_n2
+    in_cols = 1 << (lg_n1 - rate_bits)
+
+    body = partial(_four_step_local_batched, lg_n=lg_n, lg_n1=lg_n1,
+                   lg_n2=lg_n2, axis=seq_axis, rate_bits=rate_bits,
+                   shift=shift)
+
+    @jax.jit
+    def run(lo, hi):
+        bsz = lo.shape[0]
+        m = GF(lo, hi).reshape(bsz, in_cols, n2).transpose(0, 2, 1)
+        f = jax.shard_map(lambda g: body(g),
+                          mesh=mesh,
+                          in_specs=P(batch_axis, seq_axis, None),
+                          out_specs=P(batch_axis, seq_axis))
+        out = f(m)
+        return out.lo, out.hi
+
+    return run
+
+
+def coset_lde_large_batch(coeffs: GF, mesh: Mesh, rate_bits: int,
+                          shift: int = ref.MULTIPLICATIVE_GROUP_GENERATOR,
+                          lg_n2: int | None = None) -> GF:
+    """Composed 2D-parallel LDE: coeffs [B, n], mesh (batch_axis, seq_axis)
+    of shape (C, S) with B % C == 0; each polynomial's transform spans the
+    S sequence-parallel devices. Returns GF [B, N] in natural order."""
+    bsz, n_in = coeffs.shape
+    lg_in = log2_strict(n_in)
+    lg_n = lg_in + rate_bits
+    c, s = mesh.devices.shape
+    assert bsz % c == 0, (bsz, c)
+    if lg_n2 is None:
+        lg_n2 = max((lg_n + 1) // 2, (s - 1).bit_length() + 1
+                    if s > 1 else 1)
+    assert (1 << lg_n2) % s == 0, "N2 must be divisible by the seq axis"
+    assert lg_n2 < lg_n and lg_n - lg_n2 >= rate_bits
+    fn = _lde_batch_2d_fn(lg_n, lg_n2, rate_bits, shift, _mesh_key(mesh))
+    lo, hi = fn(coeffs.lo, coeffs.hi)
+    return GF(lo, hi)
+
+
 @lru_cache(maxsize=None)
 def _fft_large_fn(lg_n: int, lg_n2: int, n_devices: int, rate_bits: int,
                   shift: int | None, mesh_key):

@@ -74,6 +74,43 @@ def commit_sharded(mesh: Mesh, coeffs: GF, rate_bits: int, cap_height: int):
     return GF(llo, lhi), tuple(GF(lo, hi) for lo, hi in layers)
 
 
+def commit_sharded_2d(mesh: Mesh, coeffs: GF, rate_bits: int,
+                      cap_height: int, lg_n2: int | None = None):
+    """Composed 2D-parallel polynomial-batch commit: mesh ("col", "x") of
+    shape (C, S) — polynomial columns data-parallel over "col" while EACH
+    polynomial's coset LDE spans the S sequence-parallel devices via the
+    batched four-step NTT (`ntt_sharded.coset_lde_large_batch`). The leaf
+    transpose and Merkle layers run under GSPMD on the same jit, with XLA
+    placing the gathers on ICI. This is the pod-scale commit the reference's
+    single-host multi-GPU path (fri/oracle.rs:288-301) cannot express:
+    num_polys % C == 0 and one polynomial larger than a chip both scale.
+
+    coeffs: GF [num_polys, n]. Returns (leaves, layers) bit-identical to
+    the single-device `PolynomialBatch` commit."""
+    from .ntt_sharded import coset_lde_large_batch
+
+    num, n = coeffs.shape
+    key = ("2d", _mesh_key(mesh), num, n, rate_bits, cap_height, lg_n2)
+    if key not in _COMMIT_FNS:
+        N = n << rate_bits
+        rev = jnp.asarray(reverse_index_bits_perm(N))
+        col2d = NamedSharding(mesh, P("col", None))
+
+        def commit(lo, hi):
+            lde = coset_lde_large_batch(GF(lo, hi), mesh, rate_bits,
+                                        lg_n2=lg_n2)
+            leaves = lde.transpose(1, 0).take(rev, axis=0)
+            layers = build_layers(leaves, cap_height)
+            return ((leaves.lo, leaves.hi),
+                    tuple((l.lo, l.hi) for l in layers))
+
+        # the shard_map inside coset_lde_large_batch is already jitted per
+        # shape; wrap the whole pipeline so transpose+Merkle fuse with it
+        _COMMIT_FNS[key] = jax.jit(commit, in_shardings=(col2d, col2d))
+    (llo, lhi), layers = _COMMIT_FNS[key](coeffs.lo, coeffs.hi)
+    return GF(llo, lhi), tuple(GF(lo, hi) for lo, hi in layers)
+
+
 def training_step_sharded(mesh: Mesh, wires: GF, rate_bits: int,
                           cap_height: int):
     """One full 'prover step' shard-mapped over the mesh: per-column iNTT

@@ -111,3 +111,44 @@ def test_sharded_commit_matches_unsharded():
     np.testing.assert_array_equal(
         np.asarray(layers_sharded[-1].to_u64()),
         np.asarray(batch.merkle_tree.cap_u64()))
+
+
+def test_coset_lde_large_batch_2d_matches_single_device():
+    """Batched four-step LDE on the ("col" x "x") 4x2 mesh: 8 polynomials,
+    each spanning 2 sequence-parallel devices, must equal the single-device
+    coset LDE exactly."""
+    from plonky2_tpu.parallel.multihost import global_mesh
+    from plonky2_tpu.parallel.ntt_sharded import coset_lde_large_batch
+
+    mesh = global_mesh(seq_parallel=2)
+    rng = np.random.default_rng(21)
+    bsz, lg_n, rate_bits = 8, 6, 3
+    coeffs = GF.from_u64(rng.integers(0, ref.ORDER, size=(bsz, 1 << lg_n),
+                                      dtype=np.uint64))
+    want = np.asarray(ntt.coset_lde(coeffs, rate_bits).to_u64())
+    got = np.asarray(coset_lde_large_batch(coeffs, mesh, rate_bits,
+                                           lg_n2=5).to_u64())
+    np.testing.assert_array_equal(got, want)
+
+
+def test_commit_sharded_2d_matches_unsharded():
+    """Composed column-DP x sequence-parallel commit == single-device
+    PolynomialBatch commit bit-exactly (leaves and cap)."""
+    from plonky2_tpu.fri.oracle import PolynomialBatch
+    from plonky2_tpu.parallel.multihost import global_mesh
+    from plonky2_tpu.parallel.sharding import commit_sharded_2d
+
+    mesh = global_mesh(seq_parallel=2)
+    rng = np.random.default_rng(22)
+    num, lg_n, rate_bits, cap_height = 8, 6, 3, 2
+    coeffs = GF.from_u64(rng.integers(0, ref.ORDER, size=(num, 1 << lg_n),
+                                      dtype=np.uint64))
+    leaves, layers = commit_sharded_2d(mesh, coeffs, rate_bits, cap_height,
+                                       lg_n2=5)
+    batch = PolynomialBatch.from_coeffs(coeffs, rate_bits, False, cap_height)
+    np.testing.assert_array_equal(
+        np.asarray(leaves.to_u64()),
+        np.asarray(batch.merkle_tree.leaves.to_u64()))
+    np.testing.assert_array_equal(
+        np.asarray(layers[-1].to_u64()),
+        np.asarray(batch.merkle_tree.cap_u64()))
