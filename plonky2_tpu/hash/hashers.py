@@ -338,19 +338,35 @@ class PoseidonBN128Hasher(Hasher):
     algebraic = True
     device = False
 
-    permute_oracle = staticmethod(bn.permute_bn128)
+    # host hot paths dispatch to the native C library (the analog of the
+    # reference's Go static lib, build.rs:63-88), python spec as fallback
+    def permute_oracle(self, state):
+        from .. import native
+        out = native.bn128_permute(state)
+        return out if out is not None else bn.permute_bn128(state)
 
     def hash_no_pad_oracle(self, inputs: list[int]):
-        return tuple(bn.hash_no_pad_bn128(list(inputs)))
+        from .. import native
+        out = native.bn128_hash_no_pad(list(inputs))
+        return out if out is not None \
+            else tuple(bn.hash_no_pad_bn128(list(inputs)))
 
     def two_to_one_oracle(self, left, right):
-        return tuple(bn.two_to_one_bn128(list(left), list(right)))
+        return self.hash_no_pad_oracle(list(left) + list(right))
 
     def hash_leaves_np(self, leaves_u64):
+        from .. import native
+        out = native.bn128_hash_leaves(leaves_u64)
+        if out is not None:
+            return out
         return np.asarray([self.hash_or_noop_oracle([int(x) for x in row])
                            for row in leaves_u64], dtype=np.uint64)
 
     def compress_np(self, left, right):
+        from .. import native
+        out = native.bn128_compress_many(left, right)
+        if out is not None:
+            return out
         return np.asarray(
             [self.two_to_one_oracle([int(x) for x in l], [int(x) for x in r])
              for l, r in zip(left, right)], dtype=np.uint64)

@@ -69,3 +69,32 @@ def test_reference_kat_hash_public_inputs():
     assert PoseidonBN128GoldilocksConfig.hash_public_inputs(v) == [
         2325439551141788444, 15244397589056680708,
         5900587506047513594, 7217031981798124005]
+
+
+def test_native_c_library_matches_python_spec():
+    """The C 4-limb Montgomery implementation (native/bn128_poseidon.c, the
+    analog of the reference's Go static lib) must match the python Grain
+    spec on permutation, sponge, leaf hashing, and digest compression."""
+    import random
+
+    import numpy as np
+
+    from plonky2_tpu import native
+    from plonky2_tpu.hash.hashers import POSEIDON_BN128
+
+    if native.load_bn128() is None:
+        import pytest
+        pytest.skip("no C compiler for the native library")
+
+    rng = random.Random(0xB128)
+    for _ in range(3):
+        st = [rng.randrange(1 << 64) for _ in range(12)]
+        assert native.bn128_permute(st) == permute_bn128(st)
+    for n in (1, 8, 9, 17):
+        xs = [rng.randrange(1 << 64) for _ in range(n)]
+        assert native.bn128_hash_no_pad(xs) == tuple(hash_no_pad_bn128(xs))
+    leaves = np.array([[rng.randrange(1 << 64) for _ in range(6)]
+                       for _ in range(4)] , dtype=np.uint64)
+    want = np.asarray([POSEIDON_BN128.hash_or_noop_oracle(
+        [int(x) for x in row]) for row in leaves], dtype=np.uint64)
+    np.testing.assert_array_equal(POSEIDON_BN128.hash_leaves_np(leaves), want)
