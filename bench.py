@@ -195,6 +195,38 @@ def bench_fibonacci_prove():
          warm_prove_s=round(t_prove, 3))
 
 
+def bench_batch_prove():
+    """Cross-proof batching (no reference analog): B fib proofs through the
+    vmapped device phases vs B serial proves — the proving-service
+    throughput axis."""
+    from tests.golden_common import build_fib100
+
+    from plonky2_tpu.iop.witness import PartialWitness
+    from plonky2_tpu.plonk.batch_prover import prove_batch
+
+    data, _ = build_fib100()
+
+    def inputs(a, b):
+        pw = PartialWitness()
+        pw.set_target(data.prover_only.public_inputs[0], a)
+        pw.set_target(data.prover_only.public_inputs[1], b)
+        return pw
+
+    B = int(os.environ.get("PLONKY2_TPU_BENCH_BATCH", "8"))
+    prove_batch(data.prover_only, data.common, [inputs(0, 1)])  # warm B=1
+    t0 = time.perf_counter()
+    prove_batch(data.prover_only, data.common, [inputs(1, 1)])
+    t1 = time.perf_counter() - t0
+    batch_in = [inputs(i, i + 1) for i in range(B)]
+    prove_batch(data.prover_only, data.common, batch_in)        # warm B=B
+    t0 = time.perf_counter()
+    proofs = prove_batch(data.prover_only, data.common, batch_in)
+    tB = time.perf_counter() - t0
+    data.verify(proofs[-1])
+    emit("batch_prove_fib", B / tB, "proofs_per_s", baseline=1.0 / t1,
+         batch_size=B, batch_s=round(tB, 3), single_s=round(t1, 3))
+
+
 def bench_recursion_chain():
     """bench_recursion analog: inner fib proof -> recursive wrap proof."""
     from plonky2_tpu.iop.witness import PartialWitness
@@ -251,7 +283,7 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     _pin_platform()
     steps = [bench_ntt_sweep, bench_lde, bench_merkle, bench_fri_open,
-             bench_fibonacci_prove]
+             bench_fibonacci_prove, bench_batch_prove]
     if os.environ.get("PLONKY2_TPU_BENCH_RECURSION"):
         steps.append(bench_recursion_chain)
     steps.append(bench_headline)

@@ -190,11 +190,9 @@ def _gf_scan_mul_exclusive(x: GF) -> GF:
 
 
 @lru_cache(maxsize=None)
-def _partial_products_fn(num_routed: int, degree: int, max_degree: int,
-                         k_is: tuple):
-    """Three small jits instead of one: fusing the prefix-product scan with
-    the surrounding multiply chains triggers a pathological XLA:CPU compile
-    (minutes); isolated stages compile in seconds each."""
+def _pp_stages(num_routed: int, degree: int, max_degree: int, k_is: tuple):
+    """Unjitted partial-product stage bodies, shared between the serial
+    prover (jit per stage) and the batch prover (jit(vmap(stage)))."""
     # ragged chunking like the reference's chunks(max_degree) — the last
     # chunk may be smaller (util/partial_products.rs:55-78)
     chunk_bounds = [(i, min(i + max_degree, num_routed))
@@ -241,6 +239,17 @@ def _partial_products_fn(num_routed: int, degree: int, max_degree: int,
             pps.append(acc.reshape(1, n))
         return GF.concatenate(pps, axis=0)
 
+    return chunks_stage, pps_stage
+
+
+@lru_cache(maxsize=None)
+def _partial_products_fn(num_routed: int, degree: int, max_degree: int,
+                         k_is: tuple):
+    """Three small jits instead of one: fusing the prefix-product scan with
+    the surrounding multiply chains triggers a pathological XLA:CPU compile
+    (minutes); isolated stages compile in seconds each."""
+    chunks_stage, pps_stage = _pp_stages(num_routed, degree, max_degree,
+                                         k_is)
     j_chunks = jax.jit(chunks_stage)
     j_scan = jax.jit(_gf_scan_mul_exclusive)
     j_pps = jax.jit(pps_stage)
@@ -295,12 +304,16 @@ def _natural_lde(commitment, step: int) -> GF:
 
 
 _QUOTIENT_FNS: dict = {}
+_QUOTIENT_STAGES: dict = {}
 
 
-def _quotient_fn(common, next_step):
+def _quotient_stages(common, next_step):
+    """Unjitted quotient stage bodies + the shared per-shape device
+    constants (x, l_0_x), shared between the serial prover and the batch
+    prover's vmapped variants."""
     key = (id(common), next_step)
-    if key in _QUOTIENT_FNS:
-        return _QUOTIENT_FNS[key]
+    if key in _QUOTIENT_STAGES:
+        return _QUOTIENT_STAGES[key]
 
     qdb = (common.quotient_degree_factor - 1).bit_length()
     n_points = common.degree << qdb
@@ -420,6 +433,18 @@ def _quotient_fn(common, next_step):
     def ifft_stage(quotient_values: GF):
         coeffs = ntt.coset_ifft(quotient_values, shift=g_shift)
         return coeffs[:, :qdf * degree].reshape(nc * qdf, degree)
+
+    stages = (terms_stage, reduce_stage, ifft_stage, x, l_0_x)
+    _QUOTIENT_STAGES[key] = stages
+    return stages
+
+
+def _quotient_fn(common, next_step):
+    key = (id(common), next_step)
+    if key in _QUOTIENT_FNS:
+        return _QUOTIENT_FNS[key]
+    terms_stage, reduce_stage, ifft_stage, x, l_0_x = _quotient_stages(
+        common, next_step)
 
     j_terms = jax.jit(terms_stage)
     j_reduce = jax.jit(reduce_stage)
