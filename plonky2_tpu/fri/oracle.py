@@ -80,9 +80,32 @@ class PolynomialBatch:
         self.blinding = blinding
 
     @staticmethod
+    def _sharded(x: GF, rate_bits: int, blinding: bool, cap_height: int,
+                 hasher, from_values: bool):
+        """Multi-chip commit when a `parallel.sharding.prover_mesh` context
+        is active; None -> caller uses the single-device path."""
+        from ..hash.hashers import POSEIDON
+        h = hasher or POSEIDON
+        if blinding or not h.device:
+            return None
+        from ..parallel import sharding as shard
+        mesh = shard.current_prover_mesh()
+        if mesh is None:
+            return None
+        coeffs, leaves, layers = shard.commit_values_sharded(
+            mesh, x, rate_bits, cap_height, from_values, h)
+        tree = MerkleTree(leaves, cap_height, layers=layers, hasher=h)
+        return PolynomialBatch(coeffs, tree, log2_strict(x.shape[1]),
+                               rate_bits, blinding)
+
+    @staticmethod
     def from_values(values: GF, rate_bits: int, blinding: bool,
                     cap_height: int, hasher=None) -> "PolynomialBatch":
         num, n = values.shape
+        sharded = PolynomialBatch._sharded(values, rate_bits, blinding,
+                                           cap_height, hasher, True)
+        if sharded is not None:
+            return sharded
         coeffs = _ifft_fn(num, log2_strict(n))(values)
         return PolynomialBatch.from_coeffs(coeffs, rate_bits, blinding,
                                            cap_height, hasher)
@@ -91,6 +114,10 @@ class PolynomialBatch:
     def from_coeffs(coeffs: GF, rate_bits: int, blinding: bool,
                     cap_height: int, hasher=None) -> "PolynomialBatch":
         from ..hash.hashers import POSEIDON
+        sharded = PolynomialBatch._sharded(coeffs, rate_bits, blinding,
+                                           cap_height, hasher, False)
+        if sharded is not None:
+            return sharded
         hasher = hasher or POSEIDON
         num, n = coeffs.shape
         lg_n = log2_strict(n)

@@ -30,6 +30,29 @@ def make_mesh(n_devices: int | None = None, axis: str = "col") -> Mesh:
 
 
 _COMMIT_FNS: dict = {}
+_PROVER_MESH: list = []
+
+
+class prover_mesh:
+    """Context manager: every PolynomialBatch commit inside the block runs
+    column-sharded on this mesh (the multi-chip end-to-end prover switch —
+    `with prover_mesh(make_mesh()): data.prove(pw)`). Commits that cannot
+    shard (byte-digest hashers, salted/zk oracles) fall back to the
+    single-device program; proofs are bit-identical either way."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __enter__(self) -> Mesh:
+        _PROVER_MESH.append(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc) -> None:
+        _PROVER_MESH.pop()
+
+
+def current_prover_mesh() -> Mesh | None:
+    return _PROVER_MESH[-1] if _PROVER_MESH else None
 
 
 def _mesh_key(mesh: Mesh) -> tuple:
@@ -72,6 +95,58 @@ def commit_sharded(mesh: Mesh, coeffs: GF, rate_bits: int, cap_height: int):
     commit = _commit_sharded_fn(mesh, num, n, rate_bits, cap_height)
     (llo, lhi), layers = commit(coeffs.lo, coeffs.hi)
     return GF(llo, lhi), tuple(GF(lo, hi) for lo, hi in layers)
+
+
+def commit_values_sharded(mesh: Mesh, values_or_coeffs: GF, rate_bits: int,
+                          cap_height: int, from_values: bool,
+                          hasher=None):
+    """Full commit pipeline under the mesh: (optional iNTT) + coset LDE with
+    polynomial columns data-parallel, leaf transpose riding ICI, Merkle
+    layers on the repartitioned leaves. Returns (coeffs, leaves, layers) —
+    the sharded drop-in for the prover's PolynomialBatch commits
+    (reference's multi-GPU analog: fri/oracle.rs:288-301, which needs host
+    staging copies; here the arrays never leave the mesh)."""
+    from ..hash.merkle import build_layers as _build_layers
+
+    num, n = values_or_coeffs.shape
+    d = mesh.devices.size
+    # explicit in_shardings require the column axis to divide evenly: pad
+    # with zero polynomials and slice the LDE back before the leaf
+    # transpose, so leaves/layers stay bit-identical to the unpadded commit
+    num_pad = num + (-num) % d
+    if num_pad != num:
+        values_or_coeffs = GF.concatenate(
+            [values_or_coeffs, GF.zeros((num_pad - num, n))], axis=0)
+    hname = hasher.name if hasher is not None else "poseidon"
+    col_sharded = NamedSharding(mesh, P("col", None))
+    key = ("cv", _mesh_key(mesh), num, n, rate_bits, cap_height,
+           from_values, hname)
+    if key not in _COMMIT_FNS:
+        from ..hash.hashers import HASHERS_BY_NAME
+        h = HASHERS_BY_NAME[hname]
+        N = n << rate_bits
+        rev = jnp.asarray(reverse_index_bits_perm(N))
+
+        @partial(jax.jit, in_shardings=(col_sharded, col_sharded))
+        def commit(lo, hi):
+            x = GF(lo, hi)
+            coeffs = ntt.ifft(x) if from_values else x
+            lde = ntt.coset_lde(coeffs, rate_bits)[:num]
+            leaves = lde.transpose(1, 0).take(rev, axis=0)
+            layers = _build_layers(leaves, cap_height, h)
+            return ((coeffs.lo[:num], coeffs.hi[:num]),
+                    (leaves.lo, leaves.hi),
+                    tuple((l.lo, l.hi) for l in layers))
+
+        _COMMIT_FNS[key] = commit
+    # inputs may arrive committed with a different sharding (outputs of an
+    # earlier mesh program); device_put reshards explicitly, which jit's
+    # in_shardings alone refuses to do
+    (clo, chi), (llo, lhi), layers = _COMMIT_FNS[key](
+        jax.device_put(values_or_coeffs.lo, col_sharded),
+        jax.device_put(values_or_coeffs.hi, col_sharded))
+    return (GF(clo, chi), GF(llo, lhi),
+            tuple(GF(lo, hi) for lo, hi in layers))
 
 
 def commit_sharded_2d(mesh: Mesh, coeffs: GF, rate_bits: int,
