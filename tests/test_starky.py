@@ -72,3 +72,29 @@ def test_permutation_stark_rejects_non_permutation(perm_stark):
     with pytest.raises(AssertionError):
         proof = prove(stark, config, trace, [7])
         verify_stark_proof(stark, proof, config)
+
+
+def test_stark_prove_under_prover_mesh_matches(fib_stark_proof):
+    """The prover_mesh context shards STARK commitments too (same
+    PolynomialBatch path as PLONK); the proof transcript must be identical
+    to the single-device one."""
+    import numpy as np
+
+    from plonky2_tpu.parallel.sharding import make_mesh, prover_mesh
+
+    stark, config, want = fib_stark_proof
+    trace = stark.generate_trace(0, 1)
+    public_inputs = [0, 1, fib(NUM_ROWS - 1, 0, 1)]
+    with prover_mesh(make_mesh(8)):
+        got = prove(stark, config, trace, public_inputs)
+    verify_stark_proof(stark, got, config)
+
+    assert got.public_inputs == want.public_inputs
+    gp, wp = got.proof, want.proof
+    assert np.array_equal(np.asarray(gp.trace_cap), np.asarray(wp.trace_cap))
+    assert np.array_equal(np.asarray(gp.quotient_polys_cap),
+                          np.asarray(wp.quotient_polys_cap))
+    assert gp.openings.to_fri_openings() == wp.openings.to_fri_openings()
+    assert gp.opening_proof.final_poly == wp.opening_proof.final_poly
+    assert int(gp.opening_proof.pow_witness) == \
+        int(wp.opening_proof.pow_witness)
