@@ -64,3 +64,36 @@ def test_batch_prover_distinct_witnesses_distinct_proofs(fib_data_and_proof):
     assert len(blobs) == 2
     for p in batch:
         data.verify(p)
+
+
+def test_batch_prover_hash_circuit_bit_identical():
+    """Batch proving generalizes past arithmetic gates: a circuit with
+    Poseidon + random-access gates must also batch bit-identically."""
+    def build(seed):
+        builder = CircuitBuilder(CircuitConfig.standard_recursion_config(),
+                                 seed=seed)
+        x = builder.add_virtual_target()
+        h = builder.hash_n_to_hash_no_pad([x, x, x])
+        idx = builder.add_virtual_target()
+        pick = builder.random_access(idx, list(h))
+        builder.register_public_input(x)
+        builder.register_public_input(idx)
+        builder.register_public_input(pick)
+        return builder.build()
+
+    def inputs(data, x_val, idx_val):
+        pw = PartialWitness()
+        pw.set_target(data.prover_only.public_inputs[0], x_val)
+        pw.set_target(data.prover_only.public_inputs[1], idx_val)
+        return pw
+
+    data_s = build(seed=31)
+    serial = [data_s.prove(inputs(data_s, 7, 0)),
+              data_s.prove(inputs(data_s, 9, 3))]
+    data_b = build(seed=31)
+    batch = prove_batch(data_b.prover_only, data_b.common,
+                        [inputs(data_b, 7, 0), inputs(data_b, 9, 3)])
+    for got, want in zip(batch, serial):
+        assert serialize_proof_with_pis(got, data_b.common) == \
+            serialize_proof_with_pis(want, data_s.common)
+        data_b.verify(got)
