@@ -6,6 +6,11 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from _bootstrap import setup  # noqa: E402
+
+setup()
 
 from plonky2_tpu.iop.witness import PartialWitness
 from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
