@@ -44,10 +44,14 @@ def _commit_fn(num_polys: int, lg_n: int, rate_bits: int, cap_height: int,
     (leaves [N, num+salt], merkle layers). For host-only hashers the device
     program stops at the leaves and Merkle layers build on host."""
     from ..hash.hashers import HASHERS_BY_NAME
+    from ..hash.merkle import host_layers_preferred
     hasher = HASHERS_BY_NAME[hasher_name]
     n = 1 << lg_n
     N = n << rate_bits
     rev = jnp.asarray(reverse_index_bits_perm(N))
+    # on CPU hosts the native C batch hashers beat executing the XLA tree
+    # program by orders of magnitude; stop the device program at the leaves
+    host_layers = not hasher.device or host_layers_preferred()
 
     def commit(coeffs: GF, salt: GF):
         lde = ntt.coset_lde(coeffs, rate_bits)       # [num, N]
@@ -55,7 +59,7 @@ def _commit_fn(num_polys: int, lg_n: int, rate_bits: int, cap_height: int,
             lde = GF.concatenate([lde, salt], axis=0)
         leaves = lde.transpose(1, 0)                 # [N, num+salt]
         leaves = leaves.take(rev, axis=0)            # bit-reversed row order
-        if not hasher.device:
+        if host_layers:
             return leaves, None
         layers = build_layers(leaves, cap_height, hasher)
         return leaves, layers

@@ -140,10 +140,18 @@ class PoseidonHasher(Hasher):
     permute_dev = staticmethod(ps.poseidon_permute)
 
     def hash_leaves_np(self, leaves_u64):
+        from .. import native
+        out = native.poseidon_hash_leaves(leaves_u64)
+        if out is not None:
+            return out
         return np.asarray([ps.hash_or_noop_oracle([int(x) for x in row])
                            for row in leaves_u64], dtype=np.uint64)
 
     def compress_np(self, left, right):
+        from .. import native
+        out = native.poseidon_compress_many(left, right)
+        if out is not None:
+            return out
         return np.asarray(
             [ps.compress_oracle([int(x) for x in l], [int(x) for x in r])
              for l, r in zip(left, right)], dtype=np.uint64)

@@ -60,6 +60,11 @@ def load():
         lib.poseidon_hash_no_pad.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_uint64)]
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.poseidon_hash_leaves.argtypes = [u64p, ctypes.c_size_t,
+                                             ctypes.c_size_t, u64p]
+        lib.poseidon_compress_many.argtypes = [u64p, u64p, ctypes.c_size_t,
+                                               u64p]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -210,6 +215,38 @@ def bn128_compress_many(left, right):
     r = np.ascontiguousarray(right, dtype=np.uint64)
     out = np.empty((l.shape[0], 4), dtype=np.uint64)
     lib.bn128_compress_many(
+        l.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        l.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out
+
+
+def poseidon_hash_leaves(leaves_u64):
+    """hash_or_noop over [n, L] uint64 rows -> [n, 4], or None."""
+    lib = load()
+    if lib is None:
+        return None
+    import numpy as np
+    a = np.ascontiguousarray(leaves_u64, dtype=np.uint64)
+    out = np.empty((a.shape[0], 4), dtype=np.uint64)
+    lib.poseidon_hash_leaves(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        a.shape[0], a.shape[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out
+
+
+def poseidon_compress_many(left, right):
+    """two_to_one over [n, 4] digest pairs -> [n, 4], or None."""
+    lib = load()
+    if lib is None:
+        return None
+    import numpy as np
+    l = np.ascontiguousarray(left, dtype=np.uint64)
+    r = np.ascontiguousarray(right, dtype=np.uint64)
+    out = np.empty((l.shape[0], 4), dtype=np.uint64)
+    lib.poseidon_compress_many(
         l.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         r.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         l.shape[0],

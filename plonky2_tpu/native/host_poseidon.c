@@ -100,3 +100,35 @@ void poseidon_hash_no_pad(const u64 *inputs, size_t n, u64 *out4) {
     }
     for (int j = 0; j < 4; j++) out4[j] = state[j];
 }
+
+/* hash_or_noop over [n_rows, row_len] -> [n_rows, 4] digests
+ * (reference: config.rs:74-88 — rows of <= 4 elements pack directly) */
+void poseidon_hash_leaves(const u64 *in, size_t n_rows, size_t row_len,
+                          u64 *out) {
+    for (size_t r = 0; r < n_rows; r++) {
+        const u64 *row = in + r * row_len;
+        u64 *o = out + r * 4;
+        if (row_len <= 4) {
+            for (size_t i = 0; i < 4; i++) {
+                u64 v = i < row_len ? row[i] : 0;
+                if (v >= ORDER) v -= ORDER;
+                o[i] = v;
+            }
+        } else {
+            poseidon_hash_no_pad(row, row_len, o);
+        }
+    }
+}
+
+/* two_to_one over digest pairs: left [n,4] + right [n,4] -> [n,4] */
+void poseidon_compress_many(const u64 *left, const u64 *right, size_t n,
+                            u64 *out) {
+    u64 st[WIDTH];
+    for (size_t r = 0; r < n; r++) {
+        for (int i = 0; i < 4; i++) st[i] = left[r * 4 + i];
+        for (int i = 0; i < 4; i++) st[4 + i] = right[r * 4 + i];
+        for (int i = 8; i < WIDTH; i++) st[i] = 0;
+        poseidon_permute(st);
+        for (int i = 0; i < 4; i++) out[r * 4 + i] = st[i];
+    }
+}

@@ -273,6 +273,9 @@ def compute_quotient_polys(common, prover_data, public_inputs_hash,
     chunks (reference: prover.rs:600-744 + 266-279)."""
     qdb = (common.quotient_degree_factor - 1).bit_length()
     rate_bits = common.config.fri_config.rate_bits
+    # the reference has the identical limitation (prover.rs:617-622:
+    # "Having constraints of degree higher than the rate is not supported
+    # yet"); ragged chunking already covers num_routed % qdf != 0
     assert qdb <= rate_bits, "constraint degree above rate unsupported"
     step = 1 << (rate_bits - qdb)
     next_step = 1 << qdb
