@@ -274,6 +274,20 @@ class PoseidonGate(Gate):
         return GF.stack(cons, axis=0)
 
 
+# generated wire columns (deltas, committed sbox inputs, outputs) in the
+# reference's emission order — everything but inputs and swap
+_TRACE_COLS = (
+    list(range(PoseidonGate.START_DELTA, PoseidonGate.START_DELTA + 4))
+    + list(range(PoseidonGate.START_FULL_0, PoseidonGate.START_FULL_0
+                 + (HALF_N_FULL_ROUNDS - 1) * W))
+    + list(range(PoseidonGate.START_PARTIAL,
+                 PoseidonGate.START_PARTIAL + N_PARTIAL_ROUNDS))
+    + list(range(PoseidonGate.START_FULL_1, PoseidonGate.START_FULL_1
+                 + HALF_N_FULL_ROUNDS * W))
+    + [PoseidonGate.wire_output(i) for i in range(W)]
+)
+
+
 class PoseidonGenerator(SimpleGenerator):
     def __init__(self, row):
         self.row = row
@@ -290,6 +304,14 @@ class PoseidonGenerator(SimpleGenerator):
         inputs = [witness.get(wire(row, g.wire_input(i))) for i in range(W)]
         swap = witness.get(wire(row, g.WIRE_SWAP))
         assert swap in (0, 1)
+
+        from .. import native
+        trace = native.poseidon_generator_trace(inputs, swap)
+        if trace is not None:
+            # native C fast-partial trace; bit-parity with the python-int
+            # path asserted by tests/test_poseidon.py
+            out.extend((("w", row, c), trace[c]) for c in _TRACE_COLS)
+            return
 
         state = list(inputs)
         for i in range(4):

@@ -32,6 +32,19 @@ def _emit_constants_header(path: str) -> None:
                 % ", ".join("%dULL" % c for c in MDS_MATRIX_CIRC))
         f.write("static const uint64_t MDS_DIAG[12] = {%s};\n"
                 % ", ".join("%dULL" % c for c in MDS_MATRIX_DIAG))
+        # fast-partial-rounds tables (derived; hash/poseidon_fast.py) for the
+        # PoseidonGate witness-trace entry point
+        from ..hash.poseidon_fast import fast_partial_tables
+        first_rc, partial_rc, vs, w_hats, init_mat = fast_partial_tables()
+        flat = lambda rows: [x for row in rows for x in row]
+        for name, vals in (("FAST_FIRST_RC", first_rc),
+                           ("FAST_PARTIAL_RC", partial_rc),
+                           ("FAST_VS", flat(vs)),
+                           ("FAST_W_HATS", flat(w_hats)),
+                           ("FAST_INIT_MAT", flat(init_mat))):
+            f.write("static const uint64_t %s[%d] = {\n%s\n};\n"
+                    % (name, len(vals),
+                       ",\n".join("  %dULL" % v for v in vals)))
 
 
 def load():
@@ -65,6 +78,9 @@ def load():
                                              ctypes.c_size_t, u64p]
         lib.poseidon_compress_many.argtypes = [u64p, u64p, ctypes.c_size_t,
                                                u64p]
+        lib.poseidon_generator_trace.argtypes = [u64p, ctypes.c_uint64, u64p]
+        lib.poseidon_generator_trace_many.argtypes = [u64p, ctypes.c_size_t,
+                                                      u64p]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -252,3 +268,22 @@ def poseidon_compress_many(left, right):
         l.shape[0],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     return out
+
+
+_TRACE_BUFS = None
+
+
+def poseidon_generator_trace(inputs, swap):
+    """Full PoseidonGate wire row (fast-partial formulation): 12 canonical
+    ints + swap -> list of 135 ints, or None if no native lib. Reuses scratch
+    buffers — the witness fixpoint calls this once per Poseidon gate row."""
+    global _TRACE_BUFS
+    lib = load()
+    if lib is None:
+        return None
+    if _TRACE_BUFS is None:
+        _TRACE_BUFS = ((ctypes.c_uint64 * 12)(), (ctypes.c_uint64 * 135)())
+    buf_in, buf_out = _TRACE_BUFS
+    buf_in[:] = inputs
+    lib.poseidon_generator_trace(buf_in, int(swap), buf_out)
+    return buf_out[:]

@@ -132,3 +132,105 @@ void poseidon_compress_many(const u64 *left, const u64 *right, size_t n,
         for (int i = 0; i < 4; i++) out[r * 4 + i] = st[i];
     }
 }
+
+/* ------------------------------------------------------------------------
+ * PoseidonGate witness-generation trace (fast-partial-rounds formulation).
+ *
+ * The PLONK witness needs every committed intermediate of the FAST
+ * formulation (reference: plonky2/src/gates/poseidon.rs generator :726-845),
+ * not the naive schedule above — the committed S-box inputs differ between
+ * the two even though the final permutation output is identical. Tables
+ * FAST_* are emitted into poseidon_constants_gen.h from the derived python
+ * tables (hash/poseidon_fast.py).
+ *
+ * Wire layout (gates/poseidon_gate.py): 0..12 inputs | 12..24 outputs |
+ * 24 swap | 25..29 deltas | 29..65 full-round-0 sbox inputs |
+ * 65..87 partial sbox inputs | 87..135 full-round-1 sbox inputs.
+ * ---------------------------------------------------------------------- */
+
+#define GATE_WIRES 135
+#define WIRE_SWAP 24
+#define START_DELTA 25
+#define START_FULL_0 29
+#define START_PARTIAL 65
+#define START_FULL_1 87
+#define N_PARTIAL 22
+
+static inline u64 gl_sub(u64 a, u64 b) {   /* canonical inputs */
+    return a >= b ? a - b : a - b + ORDER;
+}
+
+void poseidon_generator_trace(const u64 *in12, u64 swap, u64 *w) {
+    u64 state[WIDTH], tmp[WIDTH];
+    for (int i = 0; i < WIDTH; i++) {
+        u64 v = in12[i];
+        if (v >= ORDER) v -= ORDER;
+        w[i] = v;
+        state[i] = v;
+    }
+    w[WIRE_SWAP] = swap;
+    for (int i = 0; i < 4; i++) {
+        u64 delta = swap ? gl_sub(state[i + 4], state[i]) : 0;
+        w[START_DELTA + i] = delta;
+        state[i] = gl_add(state[i], delta);
+        state[i + 4] = gl_sub(state[i + 4], delta);
+    }
+
+    int round_ctr = 0;
+    for (int r = 0; r < HALF_FULL; r++) {
+        for (int i = 0; i < WIDTH; i++)
+            state[i] = gl_add(state[i], ROUND_CONSTANTS[round_ctr * WIDTH + i]);
+        if (r)
+            for (int i = 0; i < WIDTH; i++)
+                w[START_FULL_0 + WIDTH * (r - 1) + i] = state[i];
+        for (int i = 0; i < WIDTH; i++) state[i] = sbox(state[i]);
+        mds_layer(state, tmp);
+        for (int i = 0; i < WIDTH; i++) state[i] = tmp[i];
+        round_ctr++;
+    }
+
+    /* partial_first_constant_layer + mds_partial_layer_init (transposed) */
+    for (int i = 0; i < WIDTH; i++)
+        state[i] = gl_add(state[i], FAST_FIRST_RC[i]);
+    tmp[0] = state[0];
+    for (int c = 1; c < WIDTH; c++) {
+        u64 acc = 0;
+        for (int r = 1; r < WIDTH; r++)
+            acc = gl_add(acc, gl_mul(state[r],
+                                     FAST_INIT_MAT[(r - 1) * 11 + (c - 1)]));
+        tmp[c] = acc;
+    }
+    for (int i = 0; i < WIDTH; i++) state[i] = tmp[i];
+
+    const u64 m00 = (u64)MDS_CIRC[0] + (u64)MDS_DIAG[0];
+    for (int r = 0; r < N_PARTIAL; r++) {
+        w[START_PARTIAL + r] = state[0];
+        u64 s0 = sbox(state[0]);
+        s0 = gl_add(s0, FAST_PARTIAL_RC[r]);       /* last entry is 0 */
+        u64 d = gl_mul(s0, m00);
+        for (int i = 1; i < WIDTH; i++)
+            d = gl_add(d, gl_mul(state[i], FAST_W_HATS[r * 11 + i - 1]));
+        for (int i = 1; i < WIDTH; i++)
+            state[i] = gl_add(state[i], gl_mul(s0, FAST_VS[r * 11 + i - 1]));
+        state[0] = d;
+    }
+    round_ctr += N_PARTIAL;
+
+    for (int r = 0; r < HALF_FULL; r++) {
+        for (int i = 0; i < WIDTH; i++)
+            state[i] = gl_add(state[i], ROUND_CONSTANTS[round_ctr * WIDTH + i]);
+        for (int i = 0; i < WIDTH; i++)
+            w[START_FULL_1 + WIDTH * r + i] = state[i];
+        for (int i = 0; i < WIDTH; i++) state[i] = sbox(state[i]);
+        mds_layer(state, tmp);
+        for (int i = 0; i < WIDTH; i++) state[i] = tmp[i];
+        round_ctr++;
+    }
+    for (int i = 0; i < WIDTH; i++) w[WIDTH + i] = state[i];
+}
+
+void poseidon_generator_trace_many(const u64 *in13, size_t n, u64 *out) {
+    for (size_t k = 0; k < n; k++)
+        poseidon_generator_trace(in13 + k * 13, in13[k * 13 + 12],
+                                 out + k * GATE_WIRES);
+}

@@ -97,3 +97,43 @@ def test_native_host_permutation_matches_python():
     for _ in range(10):
         st = [rng.randrange(2**64 - 2**32 + 1) for _ in range(12)]
         assert permute(st) == poseidon_oracle_py(st)
+
+
+def test_native_generator_trace_parity(monkeypatch):
+    """The C fast-partial witness trace must be bit-identical to the
+    python-int generator path for random inputs and both swap values."""
+    import random
+
+    import pytest
+
+    from plonky2_tpu import native
+    from plonky2_tpu.field import reference as ref
+    from plonky2_tpu.gates.poseidon_gate import PoseidonGate, PoseidonGenerator
+    from plonky2_tpu.iop.target import wire
+
+    if native.load() is None:
+        pytest.skip("native lib unavailable")
+
+    class FW:
+        def __init__(self, d):
+            self.d = d
+
+        def get(self, t):
+            return self.d[t]
+
+    rng = random.Random(99)
+    g = PoseidonGenerator(0)
+    for swap in (0, 1):
+        for _ in range(5):
+            d = {wire(0, i): rng.randrange(ref.ORDER) for i in range(12)}
+            d[wire(0, PoseidonGate.WIRE_SWAP)] = swap
+            fw = FW(d)
+            native_out = []
+            g.run_once(fw, native_out)
+            py_out = []
+            monkeypatch.setattr(native, "poseidon_generator_trace",
+                                lambda *a: None)
+            g.run_once(fw, py_out)
+            monkeypatch.undo()
+            assert dict(native_out) == dict(py_out)
+            assert len(native_out) == len(py_out) == 122
