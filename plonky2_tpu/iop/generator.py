@@ -32,10 +32,20 @@ class SimpleGenerator:
 
     # -- WitnessGenerator surface
     def watch_list(self) -> list:
-        return self.dependencies()
+        return self.deps_cached()
+
+    def deps_cached(self) -> list:
+        """dependencies() is pure but rebuilds its list per call; the
+        fixpoint re-polls blocked generators, so cache it."""
+        deps = getattr(self, "_deps", None)
+        if deps is None:
+            deps = self._deps = self.dependencies()
+        return deps
 
     def run(self, witness: PartitionWitness, out: list) -> bool:
-        if all(witness.is_set(t) for t in self.dependencies()):
+        values = witness.values
+        rep = witness.rep_index
+        if all(values[rep(t)] is not None for t in self.deps_cached()):
             self.run_once(witness, out)
             return True
         return False

@@ -38,12 +38,15 @@ class PartitionWitness:
     def __init__(self, representative_map: np.ndarray, num_wires: int,
                  degree: int):
         self.rep = representative_map  # flat index -> representative index
+        # python-list mirror: scalar numpy indexing costs ~10x a list index,
+        # and the generator fixpoint does millions of rep lookups
+        self.rep_list = representative_map.tolist()
         self.num_wires = num_wires
         self.degree = degree
         self.values: list = [None] * len(representative_map)
 
     def rep_index(self, t) -> int:
-        return int(self.rep[target_index(t, self.num_wires, self.degree)])
+        return self.rep_list[target_index(t, self.num_wires, self.degree)]
 
     def try_get(self, t):
         return self.values[self.rep_index(t)]
