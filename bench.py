@@ -271,16 +271,20 @@ def bench_headline():
     coeffs = GF.from_u64(rng.integers(0, ORDER, size=(num_polys, n),
                                       dtype=np.uint64))
     salt = GF.zeros((0, n << rate_bits))
-    # keep the Merkle layers inside the measured device program even on the
-    # CPU fallback (where the prover itself prefers the native host hashers)
-    # so the metric stays round-1 comparable; the flag is read when the
-    # commit closure is built, so restoring it after is safe
-    os.environ["PLONKY2_TPU_HOST_MERKLE"] = "0"
-    try:
-        fn = _commit_fn(num_polys, lg_n, rate_bits, cap_height, 0)
-    finally:
-        del os.environ["PLONKY2_TPU_HOST_MERKLE"]
-    dt = _bench(lambda: fn(coeffs, salt), ready=lambda o: o[1][-1].lo)
+    # measures the prover's ACTUAL commit path per backend: on TPU the fused
+    # device program ends in the Merkle layers (round-1 comparable); on the
+    # CPU fallback the device program stops at the leaves and the layers
+    # build through the native C batch hashers — compiling the 2^16-leaf
+    # XLA:CPU tree program instead takes >18 min and would hang the driver
+    from plonky2_tpu.hash.merkle import MerkleTree
+
+    fn = _commit_fn(num_polys, lg_n, rate_bits, cap_height, 0)
+
+    def commit_full():
+        leaves, layers = fn(coeffs, salt)
+        return MerkleTree(leaves, cap_height, layers=layers).cap_u64()
+
+    dt = _bench(commit_full)
     total_elems = num_polys * (n << rate_bits)
     # reference CPU estimate: 135 * 2^16 LDE elements in ~1.1 s ≈ 8.0e6 el/s
     emit("poly_batch_commit_135x2^13_rate8", total_elems / dt,
