@@ -1,26 +1,36 @@
 #!/usr/bin/env python
 """BASELINE.md benchmark suite on the real chip. Prints one JSON line per
-metric (the headline commit metric LAST, so a single-line consumer gets it):
+metric, MOST IMPORTANT FIRST so a truncated driver window still captures the
+headline numbers (round-2 lesson: the old ordering put them last and the
+driver hit rc=124 before reaching them):
 
-  ntt_2^k                 — coset-LDE-free forward NTT throughput sweep
-  lde_2^k_rate8           — coset LDE (the prover's actual kernel)
-  merkle_2^20x8           — Poseidon Merkle tree over 2^20 leaves x 8 elems
-  fri_commit_open_2^18    — PolynomialBatch commit + full FRI opening proof
-                            (blowup 8, 28 queries — default config, BASELINE)
+  poly_batch_commit_135x2^13_rate8 — headline (round-1 comparable)
   fibonacci_prove         — full PLONK prove (fib(100), standard config)
   recursion_chain         — build+prove inner, then prove the recursive
-                            wrapper (bench_recursion analog), gated by
-                            PLONKY2_TPU_BENCH_RECURSION=1 (host-witness-bound)
-  poly_batch_commit_135x2^13_rate8 — headline (round-1 comparable)
+                            wrapper (bench_recursion analog; reference anchor
+                            ~170 ms/wrap, plonky2/README.md:5)
+  fri_commit_open_2^18    — PolynomialBatch commit + full FRI opening proof
+                            (blowup 8, 28 queries — default config, BASELINE)
+  merkle_2^20x8           — Poseidon Merkle tree over 2^20 leaves x 8 elems
+  merkle_2^13x135         — the prover's leaf shape (reference
+                            plonky2/benches/merkle.rs:13-27: 135-elem leaves)
+  lde_batch_135x2^k_rate8 — batched coset LDE, the prover's ACTUAL shape
+  ntt_batch_135x2^k       — batched forward NTT
+  ntt_2^k / lde_2^k_rate8 — single-poly sweeps (latency-bound; diagnostic)
+  batch_prove_fib         — B proofs through the vmapped prover
+
+Robustness: every step runs in a CHILD process with a hard per-step timeout
+(a hung XLA compile or a dropped TPU tunnel then costs one step, not the
+whole suite). Children share the persistent compilation cache, so repeated
+runs are warm. PLONKY2_TPU_BENCH_INPROC=1 restores in-process execution.
 
 Each line carries a roofline note where meaningful: bytes moved per pass and
-achieved fraction of the chip's ~819 GB/s HBM bandwidth (v5e) — the NTT and
-Merkle pipeline are bandwidth-bound (16 B/element/pass: 2x int32 limbs,
-read+write).
+achieved fraction of the chip's ~819 GB/s HBM bandwidth (v5e).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -37,8 +47,6 @@ def _pin_platform():
     line beats a hung driver. PLONKY2_TPU_BENCH_PLATFORM overrides the
     probe. NOTE: must be jax.config.update, not the JAX_PLATFORMS env var
     (the env-var route still hangs on this box's plugin shim)."""
-    import subprocess
-
     want = os.environ.get("PLONKY2_TPU_BENCH_PLATFORM")
     if want is None:
         try:
@@ -57,8 +65,7 @@ def _pin_platform():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_threefry_partitionable", True)
-    print(json.dumps({"metric": "bench_platform",
-                      "value": jax.default_backend()}), flush=True)
+    return want
 
 
 def _bench(fn, warmup=1, iters=5, ready=None):
@@ -80,62 +87,92 @@ def emit(metric, value, unit, baseline=None, **extra):
     print(json.dumps(rec), flush=True)
 
 
-def bench_ntt_sweep():
-    import jax
+def bench_headline():
     from plonky2_tpu.field.goldilocks import GF
-    from plonky2_tpu.ops import ntt
+    from plonky2_tpu.fri.oracle import _commit_fn
 
-    rng = np.random.default_rng(0)
-    for lg_n in (12, 14, 16, 18, 20, 22, 24):
-        n = 1 << lg_n
-        x = GF.from_u64(rng.integers(0, ORDER, size=(n,), dtype=np.uint64))
-        f = jax.jit(ntt.fft)
-        dt = _bench(lambda: f(x), ready=lambda o: o.lo)
-        # radix-4 reshape path: one memory pass per 2 stages, 16 B/elem/pass
-        passes = (lg_n + 1) // 2
-        gbps = n * 16 * passes / dt
-        emit(f"ntt_2^{lg_n}", n / dt, "elements_per_s",
-             bytes_per_elem_pass=16, mem_passes=passes,
-             achieved_gbps=round(gbps / 1e9, 1),
-             hbm_roofline_frac=round(gbps / HBM_GBPS, 3))
-
-
-def bench_lde():
-    import jax
-    from plonky2_tpu.field.goldilocks import GF
-    from plonky2_tpu.ops import ntt
-
-    rng = np.random.default_rng(1)
-    for lg_n in (13, 18, 21):
-        n = 1 << lg_n
-        x = GF.from_u64(rng.integers(0, ORDER, size=(n,), dtype=np.uint64))
-        f = jax.jit(lambda c: ntt.coset_lde(c, 3))
-        dt = _bench(lambda: f(x), ready=lambda o: o.lo)
-        N = n << 3
-        emit(f"lde_2^{lg_n}_rate8", N / dt, "lde_elements_per_s")
-
-
-def bench_merkle():
-    import jax
-    from plonky2_tpu.field.goldilocks import GF
-    from plonky2_tpu.hash.merkle import _build_fn
-
-    rng = np.random.default_rng(2)
-    lg_n, leaf_size, cap_height = 20, 8, 4
+    num_polys, lg_n, rate_bits, cap_height = 135, 13, 3, 4
     n = 1 << lg_n
-    leaves = GF.from_u64(
-        rng.integers(0, ORDER, size=(n, leaf_size), dtype=np.uint64))
-    fn = _build_fn(lg_n, leaf_size, cap_height)
-    dt = _bench(lambda: fn(leaves), ready=lambda o: o[-1].lo)
-    hashes = n + (n - (1 << cap_height))   # leaf hashes + compressions
-    # reference CPU anchor: ~1.1 Mhash/s/core * 16 cores for Poseidon-12
-    emit("merkle_2^20x8", n / dt, "leaves_per_s",
-         permutations_per_s=round(hashes / dt, 1))
+    rng = np.random.default_rng(0)
+    coeffs = GF.from_u64(rng.integers(0, ORDER, size=(num_polys, n),
+                                      dtype=np.uint64))
+    salt = GF.zeros((0, n << rate_bits))
+    # measures the prover's ACTUAL commit path per backend: on TPU the fused
+    # device program ends in the Merkle layers (round-1 comparable); on the
+    # CPU fallback the device program stops at the leaves and the layers
+    # build through the native C batch hashers — compiling the 2^16-leaf
+    # XLA:CPU tree program instead takes >18 min and would hang the driver
+    from plonky2_tpu.hash.merkle import MerkleTree
+
+    fn = _commit_fn(num_polys, lg_n, rate_bits, cap_height, 0)
+
+    def commit_full():
+        leaves, layers = fn(coeffs, salt)
+        return MerkleTree(leaves, cap_height, layers=layers).cap_u64()
+
+    dt = _bench(commit_full)
+    total_elems = num_polys * (n << rate_bits)
+    # reference CPU estimate: 135 * 2^16 LDE elements in ~1.1 s ≈ 8.0e6 el/s
+    emit("poly_batch_commit_135x2^13_rate8", total_elems / dt,
+         "lde_elements_per_s", baseline=8.0e6)
+
+
+def bench_fibonacci_prove():
+    from tests.golden_common import build_fib100
+
+    t0 = time.perf_counter()
+    data, proof = build_fib100()
+    t_total = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    from plonky2_tpu.iop.witness import PartialWitness
+    pw = PartialWitness()
+    pw.set_target(data.prover_only.public_inputs[0], 0)
+    pw.set_target(data.prover_only.public_inputs[1], 1)
+    proof = data.prove(pw)
+    t_prove = time.perf_counter() - t0
+    data.verify(proof)
+    emit("fibonacci_prove", 1.0 / t_prove, "proofs_per_s",
+         build_plus_first_prove_s=round(t_total, 2),
+         warm_prove_s=round(t_prove, 3))
+
+
+def bench_recursion_chain():
+    """bench_recursion analog: inner fib proof -> recursive wrap proof.
+    Reference anchor: ~170 ms/recursive wrap (plonky2/README.md:5)."""
+    from plonky2_tpu.iop.witness import PartialWitness
+    from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
+    from plonky2_tpu.plonk.config import CircuitConfig
+    from plonky2_tpu.recursion.targets import (
+        add_virtual_proof_with_pis, add_virtual_verifier_data,
+        set_proof_with_pis_target, set_verifier_data_target,
+    )
+    from plonky2_tpu.recursion.verifier import verify_proof_circuit
+    from tests.golden_common import build_fib100
+
+    data, proof = build_fib100()
+    config = CircuitConfig.standard_recursion_config()
+    builder = CircuitBuilder(config)
+    pt = add_virtual_proof_with_pis(builder, data.common)
+    vt = add_virtual_verifier_data(builder, config.fri_config.cap_height)
+    verify_proof_circuit(builder, pt, vt, data.common)
+    t0 = time.perf_counter()
+    outer = builder.build()
+    t_build = time.perf_counter() - t0
+    pw = PartialWitness()
+    set_proof_with_pis_target(pw, pt, proof)
+    set_verifier_data_target(pw, vt, data.verifier_only)
+    outer_proof = outer.prove(pw)      # warm the compile cache
+    t0 = time.perf_counter()
+    outer_proof = outer.prove(pw)
+    t_prove = time.perf_counter() - t0
+    outer.verify(outer_proof)
+    emit("recursion_chain", 1.0 / t_prove, "wraps_per_s", baseline=1 / 0.170,
+         outer_build_s=round(t_build, 2), wrap_prove_s=round(t_prove, 3),
+         outer_degree_bits=outer.common.degree_bits)
 
 
 def bench_fri_open():
     from plonky2_tpu.field.goldilocks import GF
-    from plonky2_tpu.field import reference as ref
     from plonky2_tpu.fri.config import FriConfig, FriReductionStrategy
     from plonky2_tpu.fri.oracle import PolynomialBatch
     from plonky2_tpu.fri.structure import (
@@ -176,23 +213,112 @@ def bench_fri_open():
          queries=28, blowup=8, polys=num_polys)
 
 
-def bench_fibonacci_prove():
-    from tests.golden_common import build_fib100
+def bench_merkle():
+    import jax
+    from plonky2_tpu.field.goldilocks import GF
+    from plonky2_tpu.hash.merkle import _build_fn
 
-    t0 = time.perf_counter()
-    data, proof = build_fib100()
-    t_total = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    from plonky2_tpu.iop.witness import PartialWitness
-    pw = PartialWitness()
-    pw.set_target(data.prover_only.public_inputs[0], 0)
-    pw.set_target(data.prover_only.public_inputs[1], 1)
-    proof = data.prove(pw)
-    t_prove = time.perf_counter() - t0
-    data.verify(proof)
-    emit("fibonacci_prove", 1.0 / t_prove, "proofs_per_s",
-         build_plus_first_prove_s=round(t_total, 2),
-         warm_prove_s=round(t_prove, 3))
+    rng = np.random.default_rng(2)
+    lg_n, leaf_size, cap_height = 20, 8, 4
+    n = 1 << lg_n
+    leaves = GF.from_u64(
+        rng.integers(0, ORDER, size=(n, leaf_size), dtype=np.uint64))
+    fn = _build_fn(lg_n, leaf_size, cap_height)
+    dt = _bench(lambda: fn(leaves), ready=lambda o: o[-1].lo)
+    hashes = n + (n - (1 << cap_height))   # leaf hashes + compressions
+    emit("merkle_2^20x8", n / dt, "leaves_per_s",
+         permutations_per_s=round(hashes / dt, 1))
+
+
+def bench_merkle_wide():
+    """The prover's real leaf shape: 135 field elements per leaf (two sponge
+    blocks + 17 absorb rounds), reference plonky2/benches/merkle.rs:13-27."""
+    import jax
+    from plonky2_tpu.field.goldilocks import GF
+    from plonky2_tpu.hash.merkle import _build_fn
+
+    rng = np.random.default_rng(5)
+    lg_n, leaf_size, cap_height = 13, 135, 4
+    n = 1 << lg_n
+    leaves = GF.from_u64(
+        rng.integers(0, ORDER, size=(n, leaf_size), dtype=np.uint64))
+    fn = _build_fn(lg_n, leaf_size, cap_height)
+    dt = _bench(lambda: fn(leaves), ready=lambda o: o[-1].lo)
+    # 17 sponge permutations per leaf + 1 per compression
+    perms = n * ((leaf_size + 7) // 8) + (n - (1 << cap_height))
+    emit("merkle_2^13x135", n / dt, "leaves_per_s",
+         permutations_per_s=round(perms / dt, 1))
+
+
+def _batched_coeffs(num_polys, lg_n, seed):
+    from plonky2_tpu.field.goldilocks import GF
+    rng = np.random.default_rng(seed)
+    return GF.from_u64(rng.integers(
+        0, ORDER, size=(num_polys, 1 << lg_n), dtype=np.uint64))
+
+
+def bench_ntt_batch():
+    """The prover's actual NTT shape: [135, 2^k] batched on the last axis."""
+    import jax
+    from plonky2_tpu.ops import ntt
+
+    for lg_n in (13, 16, 18):
+        x = _batched_coeffs(135, lg_n, 4)
+        f = jax.jit(ntt.fft)
+        dt = _bench(lambda: f(x), ready=lambda o: o.lo)
+        n_total = 135 * (1 << lg_n)
+        gbps = n_total * 32 / dt   # >= 1 read + 1 write of 16 B/elem
+        emit(f"ntt_batch_135x2^{lg_n}", n_total / dt, "elements_per_s",
+             achieved_gbps_lower_bound=round(gbps / 1e9, 1),
+             hbm_roofline_frac=round(gbps / HBM_GBPS, 3))
+
+
+def bench_lde_batch():
+    import jax
+    from plonky2_tpu.ops import ntt
+
+    for lg_n in (13, 16, 18):
+        x = _batched_coeffs(135, lg_n, 6)
+        f = jax.jit(lambda c: ntt.coset_lde(c, 3))
+        dt = _bench(lambda: f(x), ready=lambda o: o.lo)
+        n_out = 135 * (1 << (lg_n + 3))
+        gbps = n_out * 32 / dt
+        emit(f"lde_batch_135x2^{lg_n}_rate8", n_out / dt,
+             "lde_elements_per_s",
+             achieved_gbps_lower_bound=round(gbps / 1e9, 1),
+             hbm_roofline_frac=round(gbps / HBM_GBPS, 3))
+
+
+def bench_ntt_sweep():
+    import jax
+    from plonky2_tpu.field.goldilocks import GF
+    from plonky2_tpu.ops import ntt
+
+    rng = np.random.default_rng(0)
+    for lg_n in (16, 20, 24):
+        n = 1 << lg_n
+        x = GF.from_u64(rng.integers(0, ORDER, size=(n,), dtype=np.uint64))
+        f = jax.jit(ntt.fft)
+        dt = _bench(lambda: f(x), ready=lambda o: o.lo)
+        gbps = n * 32 / dt
+        emit(f"ntt_2^{lg_n}", n / dt, "elements_per_s",
+             achieved_gbps_lower_bound=round(gbps / 1e9, 1),
+             hbm_roofline_frac=round(gbps / HBM_GBPS, 3))
+
+
+def bench_lde():
+    import jax
+    from plonky2_tpu.field.goldilocks import GF
+    from plonky2_tpu.ops import ntt
+
+    rng = np.random.default_rng(1)
+    for lg_n in (18, 21):
+        n = 1 << lg_n
+        x = GF.from_u64(rng.integers(0, ORDER, size=(n,), dtype=np.uint64))
+        f = jax.jit(lambda c: ntt.coset_lde(c, 3))
+        dt = _bench(lambda: f(x), ready=lambda o: o.lo)
+        N = n << 3
+        emit(f"lde_2^{lg_n}_rate8", N / dt, "lde_elements_per_s")
 
 
 def bench_batch_prove():
@@ -227,98 +353,96 @@ def bench_batch_prove():
          batch_size=B, batch_s=round(tB, 3), single_s=round(t1, 3))
 
 
-def bench_recursion_chain():
-    """bench_recursion analog: inner fib proof -> recursive wrap proof."""
-    from plonky2_tpu.iop.witness import PartialWitness
-    from plonky2_tpu.plonk.circuit_builder import CircuitBuilder
-    from plonky2_tpu.plonk.config import CircuitConfig
-    from plonky2_tpu.recursion.targets import (
-        add_virtual_proof_with_pis, add_virtual_verifier_data,
-        set_proof_with_pis_target, set_verifier_data_target,
-    )
-    from plonky2_tpu.recursion.verifier import verify_proof_circuit
-    from tests.golden_common import build_fib100
-
-    data, proof = build_fib100()
-    config = CircuitConfig.standard_recursion_config()
-    builder = CircuitBuilder(config)
-    pt = add_virtual_proof_with_pis(builder, data.common)
-    vt = add_virtual_verifier_data(builder, config.fri_config.cap_height)
-    verify_proof_circuit(builder, pt, vt, data.common)
-    t0 = time.perf_counter()
-    outer = builder.build()
-    t_build = time.perf_counter() - t0
-    pw = PartialWitness()
-    set_proof_with_pis_target(pw, pt, proof)
-    set_verifier_data_target(pw, vt, data.verifier_only)
-    t0 = time.perf_counter()
-    outer_proof = outer.prove(pw)
-    t_prove = time.perf_counter() - t0
-    outer.verify(outer_proof)
-    # reference anchor: ~170 ms/recursive wrap on a Macbook Pro (README.md:5)
-    emit("recursion_chain", 1.0 / t_prove, "wraps_per_s", baseline=1 / 0.170,
-         outer_build_s=round(t_build, 2), wrap_prove_s=round(t_prove, 3),
-         outer_degree_bits=outer.common.degree_bits)
+# (step fn, per-step wall-clock cap in seconds) — most important first.
+STEPS = [
+    (bench_headline, 420),
+    (bench_fibonacci_prove, 900),
+    (bench_recursion_chain, 2400),
+    (bench_fri_open, 600),
+    (bench_merkle, 420),
+    (bench_merkle_wide, 420),
+    (bench_lde_batch, 420),
+    (bench_ntt_batch, 420),
+    (bench_ntt_sweep, 420),
+    (bench_lde, 300),
+    (bench_batch_prove, 900),
+]
 
 
-def bench_headline():
-    from plonky2_tpu.field.goldilocks import GF
-    from plonky2_tpu.fri.oracle import _commit_fn
-
-    num_polys, lg_n, rate_bits, cap_height = 135, 13, 3, 4
-    n = 1 << lg_n
-    rng = np.random.default_rng(0)
-    coeffs = GF.from_u64(rng.integers(0, ORDER, size=(num_polys, n),
-                                      dtype=np.uint64))
-    salt = GF.zeros((0, n << rate_bits))
-    # measures the prover's ACTUAL commit path per backend: on TPU the fused
-    # device program ends in the Merkle layers (round-1 comparable); on the
-    # CPU fallback the device program stops at the leaves and the layers
-    # build through the native C batch hashers — compiling the 2^16-leaf
-    # XLA:CPU tree program instead takes >18 min and would hang the driver
-    from plonky2_tpu.hash.merkle import MerkleTree
-
-    fn = _commit_fn(num_polys, lg_n, rate_bits, cap_height, 0)
-
-    def commit_full():
-        leaves, layers = fn(coeffs, salt)
-        return MerkleTree(leaves, cap_height, layers=layers).cap_u64()
-
-    dt = _bench(commit_full)
-    total_elems = num_polys * (n << rate_bits)
-    # reference CPU estimate: 135 * 2^16 LDE elements in ~1.1 s ≈ 8.0e6 el/s
-    emit("poly_batch_commit_135x2^13_rate8", total_elems / dt,
-         "lde_elements_per_s", baseline=8.0e6)
+def _run_step_inproc(name):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    platform = _pin_platform()
+    step = dict((f.__name__, f) for f, _ in STEPS)[name]
+    try:
+        step()
+    except Exception as e:  # noqa: BLE001 — emit and continue
+        print(json.dumps({"metric": name, "error": str(e)[:200]}),
+              flush=True)
 
 
 def main():
+    if len(sys.argv) == 3 and sys.argv[1] == "--step":
+        return _run_step_inproc(sys.argv[2])
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    _pin_platform()
-    steps = [bench_ntt_sweep, bench_lde, bench_merkle, bench_fri_open,
-             bench_fibonacci_prove, bench_batch_prove]
-    if os.environ.get("PLONKY2_TPU_BENCH_RECURSION"):
-        steps.append(bench_recursion_chain)
-    steps.append(bench_headline)
+    inproc = os.environ.get("PLONKY2_TPU_BENCH_INPROC")
+    if inproc:
+        platform = _pin_platform()
+        print(json.dumps({"metric": "bench_platform", "value":
+                          ("cpu" if platform == "cpu" else "tpu")}),
+              flush=True)
+
+    # soft wall-clock budget: steps are ordered by importance; once the
+    # budget is spent, the remaining steps report skipped instead of running
+    budget = float(os.environ.get("PLONKY2_TPU_BENCH_BUDGET_S", "3000"))
     only = os.environ.get("PLONKY2_TPU_BENCH_ONLY")
+    steps = STEPS
     if only:   # comma-separated step names, e.g. "bench_recursion_chain"
         names = {s.strip() for s in only.split(",")}
-        steps = [s for s in steps if s.__name__ in names]
-    # soft wall-clock budget: on the CPU fallback XLA:CPU compiles can cost
-    # minutes per shape; always run the headline metric, skip other steps
-    # once the budget is spent so the driver's bench run stays bounded
-    budget = float(os.environ.get("PLONKY2_TPU_BENCH_BUDGET_S", "3600"))
+        steps = [(f, c) for f, c in STEPS if f.__name__ in names]
+
+    if not inproc:
+        # one probe up front so every child inherits the platform choice
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices()[0].platform == 'tpu'"],
+                timeout=120, check=True, capture_output=True)
+            os.environ.setdefault("PLONKY2_TPU_BENCH_PLATFORM", "")
+            print(json.dumps({"metric": "bench_platform", "value": "tpu"}),
+                  flush=True)
+        except Exception:
+            os.environ.setdefault("PLONKY2_TPU_BENCH_PLATFORM", "cpu")
+            print(json.dumps({"metric": "bench_platform", "value": "cpu"}),
+                  flush=True)
+
     t_start = time.perf_counter()
-    for step in steps:
-        if (step is not bench_headline
-                and time.perf_counter() - t_start > budget):
-            print(json.dumps({"metric": step.__name__,
+    for step, cap in steps:
+        name = step.__name__
+        elapsed = time.perf_counter() - t_start
+        if elapsed > budget:
+            print(json.dumps({"metric": name,
                               "skipped": "bench time budget exhausted"}),
                   flush=True)
             continue
+        cap = min(cap, max(60.0, budget - elapsed + 120))
+        if inproc:
+            try:
+                step()
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"metric": name, "error": str(e)[:200]}),
+                      flush=True)
+            continue
         try:
-            step()
-        except Exception as e:  # noqa: BLE001 — emit and continue
-            print(json.dumps({"metric": step.__name__, "error": str(e)[:200]}),
+            subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--step", name],
+                           timeout=cap, env=os.environ.copy())
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"metric": name,
+                              "skipped": f"step cap {int(cap)}s exceeded"}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"metric": name, "error": str(e)[:200]}),
                   flush=True)
 
 
