@@ -174,7 +174,25 @@ def mul(alo, ahi, blo, bhi):
 
 
 def square(alo, ahi):
-    return mul(alo, ahi, alo, ahi)
+    """Dedicated squaring: 3 32x32 multiplies instead of mul()'s 4
+    (x = lo + hi*2^32 -> x^2 = lo^2 + 2*lo*hi*2^32 + hi^2*2^64)."""
+    ll_h, ll_l = _mul32(alo, alo)
+    hh_h, hh_l = _mul32(ahi, ahi)
+    c_h, c_l = _mul32(alo, ahi)
+    # cross*2 as a 65-bit (c2_h, c2_m, c2_l); then total = ll + (c2 << 32)
+    # + hh << 64
+    c2_l = c_l << 1
+    c2_m = (c_h << 1) | (c_l >> 31)
+    c2_h = c_h >> 31
+    w0 = ll_l
+    w1 = ll_h + c2_l
+    k1 = (w1 < ll_h).astype(u32)
+    s2 = hh_l + c2_m
+    k2 = (s2 < hh_l).astype(u32)
+    w2 = s2 + k1
+    k3 = (w2 < s2).astype(u32)
+    w3 = hh_h + c2_h + k2 + k3
+    return _reduce128(w3, w2, w1, w0)
 
 
 def mul_small(c: int, alo, ahi):

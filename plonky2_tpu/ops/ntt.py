@@ -26,6 +26,19 @@ from ..utils.bits import log2_strict, reverse_index_bits_perm, ifft_reverse_perm
 
 MULTIPLICATIVE_GROUP_GENERATOR = 7  # default coset shift
 
+_MIN_LG_MXU = 8  # output size from which the MXU limb-matmul NTT dispatches
+
+
+def _use_mxu(lg_out: int) -> bool:
+    """TPU backend: route big transforms to the DFT-as-int8-limb-matmul
+    four-step (ops/ntt_mxu.py) — the butterfly path is VPU/layout-bound at
+    ~1% of the HBM roofline, the matmul path runs on the MXU. Kill switch:
+    PLONKY2_TPU_NO_MXU_NTT=1."""
+    import os
+    if lg_out < _MIN_LG_MXU or os.environ.get("PLONKY2_TPU_NO_MXU_NTT"):
+        return False
+    return jax.default_backend() == "tpu"
+
 
 @lru_cache(maxsize=None)
 def _half_twiddles(lg_n: int):
@@ -150,6 +163,9 @@ def fft(coeffs: GF) -> GF:
     """values[j] = P(g^j) over the size-n two-adic subgroup; last axis."""
     n = coeffs.shape[-1]
     lg_n = log2_strict(n)
+    if _use_mxu(lg_n):
+        from . import ntt_mxu
+        return ntt_mxu.fft(coeffs)
     x = coeffs.take(jnp.asarray(reverse_index_bits_perm(n)), axis=-1)
     return _butterfly_stages(x, lg_n, 0)
 
@@ -157,6 +173,9 @@ def fft(coeffs: GF) -> GF:
 def ifft(values: GF) -> GF:
     n = values.shape[-1]
     lg_n = log2_strict(n)
+    if _use_mxu(lg_n):
+        from . import ntt_mxu
+        return ntt_mxu.ifft(values)
     buf = fft(values)
     buf = buf.take(jnp.asarray(ifft_reverse_perm(n)), axis=-1)
     n_inv = GF.const(ref.inverse_2exp(lg_n))
@@ -166,12 +185,18 @@ def ifft(values: GF) -> GF:
 def coset_fft(coeffs: GF, shift: int = MULTIPLICATIVE_GROUP_GENERATOR) -> GF:
     """Evaluate on the coset shift * <g>."""
     n = coeffs.shape[-1]
+    if _use_mxu(log2_strict(n)):
+        from . import ntt_mxu
+        return ntt_mxu.coset_fft(coeffs, shift)
     sp = _shift_powers(shift, n)
     return fft(coeffs * sp.broadcast_to(coeffs.shape))
 
 
 def coset_ifft(values: GF, shift: int = MULTIPLICATIVE_GROUP_GENERATOR) -> GF:
     n = values.shape[-1]
+    if _use_mxu(log2_strict(n)):
+        from . import ntt_mxu
+        return ntt_mxu.coset_ifft(values, shift)
     sp = _shift_powers(ref.inverse(shift), n)
     return ifft(values) * sp.broadcast_to(values.shape)
 
@@ -197,6 +222,9 @@ def lde_fft(coeffs: GF, rate_bits: int,
     lg_small = log2_strict(n_small)
     lg_n = lg_small + rate_bits
     n = 1 << lg_n
+    if _use_mxu(lg_n):
+        from . import ntt_mxu
+        return ntt_mxu.lde_fft(coeffs, rate_bits, shift=shift)
     if shift is not None:
         sp = _shift_powers(shift, n_small)
         coeffs = coeffs * sp.broadcast_to(coeffs.shape)

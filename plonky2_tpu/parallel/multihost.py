@@ -43,11 +43,19 @@ def init_multihost(coordinator_address: str | None = None,
     """Per-process rendezvous. On a TPU pod slice all arguments are
     auto-discovered from the environment; on CPU/GPU fleets pass them
     explicitly. Idempotent: a second call is a no-op."""
-    if jax.process_count() > 1 or getattr(init_multihost, "_done", False):
+    if getattr(init_multihost, "_done", False):
         return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    # NOTE: must not touch jax.process_count()/jax.devices() here — any
+    # backend query initializes XLA and makes distributed.initialize
+    # impossible (found by tests/test_multihost_2proc.py).
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        # idempotence: a prior initialize (e.g. the pod launcher) is fine
+        if "already" not in str(e) and "once" not in str(e):
+            raise
     init_multihost._done = True
 
 
