@@ -1,17 +1,24 @@
-"""Pallas TPU kernel for the Poseidon permutation (lanes layout).
+"""Pallas TPU kernels for the Poseidon permutation (lanes layout).
 
 The hand-kernel analog of the reference's AVX2/BMI2 + NEON permutations
 (plonky2/src/hash/arch/x86_64/poseidon_goldilocks_avx2_bmi2.rs, aarch64/
-poseidon_goldilocks_neon.rs): the [12, TILE] state tile lives in VMEM for
-ALL 30 rounds — the XLA lax.scan formulation round-trips the carry through
-HBM every round, and Poseidon/Merkle is ~87% of commit time, so keeping the
-state on-chip is the single biggest single-chip lever (VERDICT r1 item 3).
+poseidon_goldilocks_neon.rs): the state tile lives in VMEM for ALL 30
+rounds — the XLA lax.scan formulation round-trips the carry through HBM
+every round, and Poseidon/Merkle is ~87% of commit time.
 
-Kernel body = the same algebra as hash/poseidon.py (u16-limb MDS circulant,
-fast-partial-round factorization), fully unrolled: Pallas compiles each tile
-program once; jnp ops inside the kernel lower to VPU vector ops.
+Two kernel generations:
 
-Batch B is tiled along the lane axis; B must be a multiple of 128 for the
+* v2 (default, `_kernel_soa`): STRUCTURE-OF-ARRAYS state — twelve separate
+  [8, T] planes, each a perfectly-tiled VPU register block. The MDS
+  circulant "rolls" become Python-level index renames (zero lane-crossing
+  ops — the v1 kernel spent most of its time in jnp.roll relayouts on a
+  [12, B] block whose 12-row tiles also wasted a third of every sublane
+  group), every round constant is baked as a scalar immediate (no table
+  operands), and the S-box uses the dedicated 3-multiply squaring.
+* v1 (`_kernel`, PLONKY2_TPU_POSEIDON_V1=1): the round-2 [12, TILE]-block
+  kernel, kept as a fallback/ablation.
+
+Batch B is tiled along the lane axis; B must be a multiple of 512 for the
 kernel path (callers in the Merkle/commit pipeline always are — power-of-two
 leaf counts), everything else falls back to the scan path.
 """
@@ -23,8 +30,9 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..field.goldilocks import GF
+from ..field.goldilocks import GF, add, mul, square, mul_small, u32, _reduce96
 
 TILE = 512            # lanes per kernel program (VMEM use ~ a few hundred KB)
 MIN_PALLAS_BATCH = 512
@@ -93,10 +101,172 @@ def _permute_fn(batch: int, tile: int, interpret: bool):
     return run if interpret else jax.jit(run)
 
 
+# ---------------------------------------------------------------------------
+# v2: structure-of-arrays kernel — 12 perfectly-tiled [8, T/8] planes,
+# circulant rolls are Python index renames, constants are scalar immediates
+# ---------------------------------------------------------------------------
+
+TILE_SOA = 2048
+
+
+def _c32(c: int):
+    return np.uint32(c & 0xFFFFFFFF), np.uint32(c >> 32)
+
+
+def _addc(x: GF, c: int) -> GF:
+    if c == 0:
+        return x
+    cl, ch = _c32(c)
+    return GF(*add(x.lo, x.hi, cl, ch))
+
+
+def _mulc(x: GF, c: int) -> GF:
+    if c == 1:
+        return x
+    if c < (1 << 32):
+        return GF(*mul_small(int(c), x.lo, x.hi))
+    cl, ch = _c32(c)
+    return GF(*mul(x.lo, x.hi, cl, ch))
+
+
+def _sbox7(x: GF) -> GF:
+    """x^7 = (x^3)^2 * x: two dedicated squarings + two multiplies."""
+    x2 = GF(*square(x.lo, x.hi))
+    x3 = x2 * x
+    x6 = GF(*square(x3.lo, x3.hi))
+    return x6 * x
+
+
+def _recomb16(a):
+    """u16-limb accumulators (a0..a3, each < 2^26) -> 96-bit (w2, w1, w0)."""
+    a0, a1, a2, a3 = a
+    t0 = (a1 & 0xFFFF) << 16
+    w0 = a0 + t0
+    c0 = (w0 < a0).astype(u32)
+    mid = (a1 >> 16) + a2 + c0
+    t1 = (a3 & 0xFFFF) << 16
+    w1 = mid + t1
+    c1 = (w1 < mid).astype(u32)
+    w2 = (a3 >> 16) + c1
+    return w2, w1, w0
+
+
+def _mds_soa(s: list) -> list:
+    """MDS on a list of 12 per-element GF planes. No rolls: row r reads
+    plane (r+i)%12 by name. The 6-bit circulant constants keep each u16-limb
+    accumulator under 2^26 (12 * 41 * 0xFFFF + 8 * 0xFFFF)."""
+    from ..hash.poseidon_constants import MDS_MATRIX_CIRC, MDS_MATRIX_DIAG
+    limbs = [(si.lo & 0xFFFF, si.lo >> 16, si.hi & 0xFFFF, si.hi >> 16)
+             for si in s]
+    out = []
+    for r in range(12):
+        acc = [None] * 4
+        for i in range(12):
+            c = np.uint32(MDS_MATRIX_CIRC[i])
+            L = limbs[(r + i) % 12]
+            for k in range(4):
+                t = c * L[k]
+                acc[k] = t if acc[k] is None else acc[k] + t
+        if MDS_MATRIX_DIAG[r]:
+            d = np.uint32(MDS_MATRIX_DIAG[r])
+            for k in range(4):
+                acc[k] = acc[k] + d * limbs[r][k]
+        out.append(GF(*_reduce96(*_recomb16(acc))))
+    return out
+
+
+def _permute_soa(s: list) -> list:
+    """Fully-unrolled width-12 permutation on 12 separate planes; every
+    constant is a compile-time scalar immediate (no table operands).
+    Bit-identical schedule to hash/poseidon.permute_lanes_unrolled."""
+    from ..hash.poseidon import MDS0TO0
+    from ..hash.poseidon_constants import (
+        ALL_ROUND_CONSTANTS, HALF_N_FULL_ROUNDS, N_PARTIAL_ROUNDS, N_ROUNDS,
+    )
+    from ..hash.poseidon_fast import fast_partial_tables
+
+    first_rc, partial_rc, vs, w_hats, init_mat = fast_partial_tables()
+    # the last partial round adds no constant (poseidon_fast:220-222)
+    partial_rc = list(partial_rc)[:N_PARTIAL_ROUNDS - 1] + [0]
+
+    def full_round(s, r):
+        s = [_addc(si, ALL_ROUND_CONSTANTS[r * 12 + i])
+             for i, si in enumerate(s)]
+        s = [_sbox7(si) for si in s]
+        return _mds_soa(s)
+
+    for r in range(HALF_N_FULL_ROUNDS):
+        s = full_round(s, r)
+
+    # partial-rounds init: first constant layer + 11x11 init matrix
+    s = [_addc(si, int(first_rc[i])) for i, si in enumerate(s)]
+    rest = s[1:]
+    new_rest = []
+    for ci in range(11):
+        acc = None
+        for ri in range(11):
+            t = _mulc(rest[ri], int(init_mat[ri][ci]))
+            acc = t if acc is None else acc + t
+        new_rest.append(acc)
+    s = [s[0]] + new_rest
+
+    for pr in range(N_PARTIAL_ROUNDS):
+        s0 = _sbox7(s[0])
+        s0 = _addc(s0, int(partial_rc[pr]))
+        rest = s[1:]
+        d = _mulc(s0, int(MDS0TO0))
+        acc = None
+        for i in range(11):
+            t = _mulc(rest[i], int(w_hats[pr][i]))
+            acc = t if acc is None else acc + t
+        d = d + acc
+        s = [d] + [rest[i] + _mulc(s0, int(vs[pr][i])) for i in range(11)]
+
+    for r in range(N_ROUNDS - HALF_N_FULL_ROUNDS, N_ROUNDS):
+        s = full_round(s, r)
+    return s
+
+
+@functools.lru_cache(maxsize=None)
+def _permute_fn_soa(batch: int, tile: int, interpret: bool):
+    from jax.experimental import pallas as pl
+
+    t8 = tile // 8
+    b8 = batch // 8
+    grid = (b8 // t8,)
+    spec = pl.BlockSpec((12, 8, t8), lambda g: (0, 0, g))
+    out_shape = [jax.ShapeDtypeStruct((12, 8, b8), jnp.uint32)] * 2
+
+    def kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref):
+        s = [GF(lo_ref[i], hi_ref[i]) for i in range(12)]
+        s = _permute_soa(s)
+        for i in range(12):
+            out_lo_ref[i] = s[i].lo
+            out_hi_ref[i] = s[i].hi
+
+    def run(lo, hi):
+        olo, ohi = pl.pallas_call(
+            kernel, grid=grid, in_specs=[spec, spec],
+            out_specs=[spec, spec], out_shape=out_shape,
+            interpret=interpret,
+        )(lo.reshape(12, 8, b8), hi.reshape(12, 8, b8))
+        return olo.reshape(12, batch), ohi.reshape(12, batch)
+
+    # interpret mode (CPU validation) must NOT be jitted: XLA:CPU hangs
+    # compiling the fully-unrolled 30-round graph (known pathology)
+    return run if interpret else jax.jit(run)
+
+
 def permute_lanes_pallas(st: GF, tile: int | None = None,
                          interpret: bool = False) -> GF:
-    """st [12, B] -> [12, B]; B % 128 == 0."""
+    """st [12, B] -> [12, B]; B % 512 == 0 (SoA) / % 128 (v1)."""
     B = st.shape[-1]
+    if not os.environ.get("PLONKY2_TPU_POSEIDON_V1") and B % 512 == 0:
+        t = tile or min(TILE_SOA, B)
+        while B % t:
+            t //= 2
+        lo, hi = _permute_fn_soa(B, t, interpret)(st.lo, st.hi)
+        return GF(lo, hi)
     t = tile or min(TILE, B)
     while B % t:
         t //= 2

@@ -1,33 +1,64 @@
-"""On-chip validation of the TPU-only code paths (Pallas Poseidon kernel,
-lanes pipeline) against the host oracle. Run on the real chip:
+"""On-chip validation of the TPU-only code paths (Pallas Poseidon kernels —
+SoA v2 and v1 — and the lanes pipeline) against the host oracle, plus a
+kernel throughput comparison. Run on the real chip:
     python scripts/tpu_validate.py
 """
 import sys
 import os
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/plonky2_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert jax.default_backend() == "tpu", "run this on the TPU box"
 
 from plonky2_tpu.field import reference as ref
 from plonky2_tpu.field.goldilocks import GF
 from plonky2_tpu.hash import poseidon as ps
-from plonky2_tpu.ops.pallas_poseidon import permute_lanes_pallas
+from plonky2_tpu.ops.pallas_poseidon import (
+    _permute_fn, _permute_fn_soa, permute_lanes_pallas,
+)
 
 rng = np.random.default_rng(0)
 B = 1024
 state = rng.integers(0, ref.ORDER, size=(12, B), dtype=np.uint64)
-got = np.asarray(permute_lanes_pallas(GF.from_u64(state)).to_u64())
+st = GF.from_u64(state)
+
+got = np.asarray(permute_lanes_pallas(st).to_u64())   # default = SoA v2
 for j in range(0, B, 211):
     want = ps.poseidon_oracle([int(state[i, j]) for i in range(12)])
     assert [int(got[i, j]) for i in range(12)] == want, f"lane {j} mismatch"
-print("pallas kernel vs oracle: OK (1024 lanes)")
+print("pallas SoA kernel vs oracle: OK (1024 lanes)", flush=True)
 
-# kernel vs scan formulation, bit-exact across the full batch
-scan = np.asarray(ps._poseidon_permute_scan(
-    GF.from_u64(state.T)).to_u64()).T
+v1 = GF(*_permute_fn(B, 512, False)(st.lo, st.hi)).to_u64()
+np.testing.assert_array_equal(got, np.asarray(v1))
+print("pallas SoA kernel vs v1 kernel: OK", flush=True)
+
+scan = np.asarray(ps._poseidon_permute_scan(GF.from_u64(state.T)).to_u64()).T
 np.testing.assert_array_equal(got, scan)
-print("pallas kernel vs scan path: OK")
+print("pallas kernel vs scan path: OK", flush=True)
+
+# throughput: permutations/s for each kernel at a large batch
+Bb = 1 << 20
+big = GF.from_u64(rng.integers(0, ref.ORDER, size=(12, Bb), dtype=np.uint64))
+
+
+def bench(fn, iters=10):
+    lo, hi = fn(big.lo, big.hi)
+    jax.block_until_ready(lo)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        lo, hi = fn(big.lo, big.hi)
+    jax.block_until_ready(lo)
+    return Bb * iters / (time.perf_counter() - t0)
+
+
+for name, fn in (("soa_v2", _permute_fn_soa(Bb, 2048, False)),
+                 ("v1", _permute_fn(Bb, 512, False))):
+    rate = bench(fn)
+    print(f"kernel {name}: {rate/1e6:.2f} M permutations/s", flush=True)
