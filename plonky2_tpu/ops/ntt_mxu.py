@@ -235,6 +235,45 @@ def _combine_diags(S, bias_total: int) -> GF:
     return GF(lo, hi)
 
 
+# budget for the per-level s32 diagonal intermediate: the [.., 17, R] dot
+# output is ~68 B per output element before the mod-p recombine, so levels
+# bigger than this are chunked through lax.map (bounds peak HBM — an
+# unchunked [135, 2^17] -> 2^20 LDE level would materialize ~9 GB and OOM
+# the 16 GB chip, as the round-3 ECDSA run demonstrated)
+CHUNK_OUT_ELEMS = 1 << 22
+
+
+def _stage_matmul(x3: GF, band_np, bias_total: int) -> GF:
+    """One level's banded limb-matmul: x3 [F, K, G] -> GF [F, G, R],
+    chunked over G when the s32 diagonal intermediate would be too large."""
+    F, K, G = x3.shape
+    band = jnp.asarray(band_np)                    # s8 [9, K, 17, R]
+    R = band.shape[-1]
+
+    def one(xc: GF) -> GF:
+        a9 = _balanced_limbs(xc)                   # s8 [9, F, K, Gc]
+        out = jax.lax.dot_general(
+            a9, band,
+            dimension_numbers=(((0, 2), (0, 1)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                          # [F, Gc, 17, R]
+        return _combine_diags(out, bias_total)     # GF [F, Gc, R]
+
+    if F * G * R <= CHUNK_OUT_ELEMS or G == 1:
+        return one(x3)
+    gn = 1
+    while F * (G // gn) * R > CHUNK_OUT_ELEMS and gn < G:
+        gn *= 2
+    gc = G // gn
+    xr = GF(x3.lo.reshape(F, K, gn, gc).transpose(2, 0, 1, 3),
+            x3.hi.reshape(F, K, gn, gc).transpose(2, 0, 1, 3))
+    lo, hi = jax.lax.map(lambda p: (lambda r: (r.lo, r.hi))(one(GF(*p))),
+                         (xr.lo, xr.hi))           # [gn, F, gc, R]
+    lo = lo.transpose(1, 0, 2, 3).reshape(F, G, R)
+    hi = hi.transpose(1, 0, 2, 3).reshape(F, G, R)
+    return GF(lo, hi)
+
+
 def _core(x: GF, lg_N: int, lg_in: int, c: int, e: int, s: int,
           inverse: bool) -> GF:
     digits, stages, bias_total = _plan(lg_N, lg_in, c % ORDER, e % ORDER,
@@ -246,14 +285,13 @@ def _core(x: GF, lg_N: int, lg_in: int, c: int, e: int, s: int,
     x = x.reshape(*batch, *shape_digits)
     for st in range(L):
         info = stages[st]
-        band = jnp.asarray(info["band"])           # s8 [9, K, 17, R]
-        a9 = _balanced_limbs(x)                    # s8 [9, batch..., axes...]
-        out = jax.lax.dot_general(
-            a9, band,
-            dimension_numbers=(((0, nb + 1), (0, 1)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )                                          # [batch.., rest.., 17, R]
-        g = _combine_diags(out, bias_total)        # GF [batch.., rest.., R]
+        K, R = info["K"], info["R"]
+        pre = x.shape                              # [batch.., K, rest..]
+        F = int(np.prod(pre[:nb], dtype=np.int64)) if nb else 1
+        G = int(np.prod(pre[nb + 1:], dtype=np.int64)) if len(pre) > nb + 1 \
+            else 1
+        g3 = _stage_matmul(x.reshape(F, K, G), info["band"], bias_total)
+        g = g3.reshape(*pre[:nb], *pre[nb + 1:], R)  # [batch.., rest.., R]
         for t, (tlo, thi) in info["factors"]:
             # factor[k, d_t]: k = last axis; d_t sits at nb + (t - st - 1)
             tab = GF(jnp.asarray(tlo), jnp.asarray(thi))
