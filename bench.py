@@ -68,16 +68,81 @@ def _pin_platform():
     return want
 
 
-def _bench(fn, warmup=1, iters=5, ready=None):
+_FLOOR = None
+
+
+def _sync(out):
+    """Force REAL completion: a tiny host readback. On the axon remote
+    backend block_until_ready returns before execution finishes, and
+    identical executions can be served from a cache, so honest timing needs
+    (a) a readback sync and (b) per-iteration input perturbation."""
     import jax
-    for _ in range(warmup):
-        out = fn()
-    jax.block_until_ready(ready(out) if ready else out)
+    arr = out.lo if hasattr(out, "lo") else out
+    if isinstance(arr, (tuple, list)):
+        arr = arr[0]
+    np.asarray(jax.device_get(arr.ravel()[:1] if arr.ndim else arr))
+
+
+def _floor_s():
+    """Measured readback round-trip floor (subtracted from timings)."""
+    global _FLOOR
+    if _FLOOR is None:
+        import jax
+        import jax.numpy as jnp
+        x = jnp.zeros((8, 128), jnp.int32)
+        f = jax.jit(lambda a, s: a + s)
+        _sync(f(x, 1))
+        t0 = time.perf_counter()
+        _sync(f(x, 2))
+        _FLOOR = time.perf_counter() - t0
+    return _FLOOR
+
+
+def _bench(fn, warmup=1, iters=5, ready=None):
+    """fn(i) runs one perturbed iteration (i varies so the remote runtime
+    cannot dedupe identical executions); returns seconds/iteration net of
+    the readback floor. Accepts legacy zero-arg fns too."""
+    import inspect
+    takes_i = len(inspect.signature(fn).parameters) >= 1
+    call = (lambda i: fn(i)) if takes_i else (lambda i: fn())
+    for w in range(warmup):
+        out = call(-1 - w)
+    _sync(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(ready(out) if ready else out)
-    return (time.perf_counter() - t0) / iters
+    for i in range(iters):
+        out = call(i)
+    _sync(out)
+    return max((time.perf_counter() - t0 - _floor_s()) / iters, 1e-9)
+
+
+def _bench_chained(step_fn, x, iters):
+    """Chain `iters` dependent in-graph iterations of step_fn (GF -> GF)
+    inside one jit and sync once: per-dispatch overhead (~3 ms through the
+    tunnel) would otherwise swamp ms-scale kernels. The input is XOR-
+    perturbed per iteration; outputs larger than the input (LDE) are sliced
+    back so the loop carry keeps one shape."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from plonky2_tpu.field.goldilocks import GF
+
+    n_last = x.shape[-1]
+
+    @jax.jit
+    def run(lo, hi):
+        def body(i, c):
+            l, h = c
+            o = step_fn(GF(l ^ i.astype(jnp.uint32), h))
+            if o.shape[-1] != n_last:
+                o = GF(o.lo[..., :n_last], o.hi[..., :n_last])
+            return (o.lo, o.hi)
+        return lax.fori_loop(0, iters, body, (lo, hi))
+
+    _sync(run(x.lo, x.hi)[0])
+    t0 = time.perf_counter()
+    out = run(x.lo, x.hi)
+    _sync(out[0])
+    return max((time.perf_counter() - t0 - _floor_s()) / iters, 1e-9)
 
 
 def emit(metric, value, unit, baseline=None, **extra):
@@ -106,8 +171,9 @@ def bench_headline():
 
     fn = _commit_fn(num_polys, lg_n, rate_bits, cap_height, 0)
 
-    def commit_full():
-        leaves, layers = fn(coeffs, salt)
+    def commit_full(i):
+        c = GF(coeffs.lo ^ np.uint32(i + 1), coeffs.hi)
+        leaves, layers = fn(c, salt)
         return MerkleTree(leaves, cap_height, layers=layers).cap_u64()
 
     dt = _bench(commit_full)
@@ -224,7 +290,8 @@ def bench_merkle():
     leaves = GF.from_u64(
         rng.integers(0, ORDER, size=(n, leaf_size), dtype=np.uint64))
     fn = _build_fn(lg_n, leaf_size, cap_height)
-    dt = _bench(lambda: fn(leaves), ready=lambda o: o[-1].lo)
+    dt = _bench(lambda i: fn(GF(leaves.lo ^ np.uint32(i + 1),
+                                leaves.hi))[-1].lo)
     hashes = n + (n - (1 << cap_height))   # leaf hashes + compressions
     emit("merkle_2^20x8", n / dt, "leaves_per_s",
          permutations_per_s=round(hashes / dt, 1))
@@ -243,7 +310,8 @@ def bench_merkle_wide():
     leaves = GF.from_u64(
         rng.integers(0, ORDER, size=(n, leaf_size), dtype=np.uint64))
     fn = _build_fn(lg_n, leaf_size, cap_height)
-    dt = _bench(lambda: fn(leaves), ready=lambda o: o[-1].lo)
+    dt = _bench(lambda i: fn(GF(leaves.lo ^ np.uint32(i + 1),
+                                leaves.hi))[-1].lo)
     # 17 sponge permutations per leaf + 1 per compression
     perms = n * ((leaf_size + 7) // 8) + (n - (1 << cap_height))
     emit("merkle_2^13x135", n / dt, "leaves_per_s",
@@ -259,13 +327,11 @@ def _batched_coeffs(num_polys, lg_n, seed):
 
 def bench_ntt_batch():
     """The prover's actual NTT shape: [135, 2^k] batched on the last axis."""
-    import jax
     from plonky2_tpu.ops import ntt
 
-    for lg_n in (13, 16, 18):
+    for lg_n, iters in ((13, 20), (16, 10), (18, 5)):
         x = _batched_coeffs(135, lg_n, 4)
-        f = jax.jit(ntt.fft)
-        dt = _bench(lambda: f(x), ready=lambda o: o.lo)
+        dt = _bench_chained(ntt.fft, x, iters)
         n_total = 135 * (1 << lg_n)
         gbps = n_total * 32 / dt   # >= 1 read + 1 write of 16 B/elem
         emit(f"ntt_batch_135x2^{lg_n}", n_total / dt, "elements_per_s",
@@ -274,13 +340,11 @@ def bench_ntt_batch():
 
 
 def bench_lde_batch():
-    import jax
     from plonky2_tpu.ops import ntt
 
-    for lg_n in (13, 16, 18):
+    for lg_n, iters in ((13, 20), (16, 10), (18, 5)):
         x = _batched_coeffs(135, lg_n, 6)
-        f = jax.jit(lambda c: ntt.coset_lde(c, 3))
-        dt = _bench(lambda: f(x), ready=lambda o: o.lo)
+        dt = _bench_chained(lambda c: ntt.coset_lde(c, 3), x, iters)
         n_out = 135 * (1 << (lg_n + 3))
         gbps = n_out * 32 / dt
         emit(f"lde_batch_135x2^{lg_n}_rate8", n_out / dt,
@@ -290,16 +354,14 @@ def bench_lde_batch():
 
 
 def bench_ntt_sweep():
-    import jax
     from plonky2_tpu.field.goldilocks import GF
     from plonky2_tpu.ops import ntt
 
     rng = np.random.default_rng(0)
-    for lg_n in (16, 20, 24):
+    for lg_n, iters in ((16, 20), (20, 10), (24, 5)):
         n = 1 << lg_n
         x = GF.from_u64(rng.integers(0, ORDER, size=(n,), dtype=np.uint64))
-        f = jax.jit(ntt.fft)
-        dt = _bench(lambda: f(x), ready=lambda o: o.lo)
+        dt = _bench_chained(ntt.fft, x, iters)
         gbps = n * 32 / dt
         emit(f"ntt_2^{lg_n}", n / dt, "elements_per_s",
              achieved_gbps_lower_bound=round(gbps / 1e9, 1),
@@ -307,16 +369,14 @@ def bench_ntt_sweep():
 
 
 def bench_lde():
-    import jax
     from plonky2_tpu.field.goldilocks import GF
     from plonky2_tpu.ops import ntt
 
     rng = np.random.default_rng(1)
-    for lg_n in (18, 21):
+    for lg_n, iters in ((18, 10), (21, 5)):
         n = 1 << lg_n
         x = GF.from_u64(rng.integers(0, ORDER, size=(n,), dtype=np.uint64))
-        f = jax.jit(lambda c: ntt.coset_lde(c, 3))
-        dt = _bench(lambda: f(x), ready=lambda o: o.lo)
+        dt = _bench_chained(lambda c: ntt.coset_lde(c, 3), x, iters)
         N = n << 3
         emit(f"lde_2^{lg_n}_rate8", N / dt, "lde_elements_per_s")
 

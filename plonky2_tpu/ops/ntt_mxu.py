@@ -40,6 +40,7 @@ which is exactly what the systolic array wants.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -236,11 +237,13 @@ def _combine_diags(S, bias_total: int) -> GF:
 
 
 # budget for the per-level s32 diagonal intermediate: the [.., 17, R] dot
-# output is ~68 B per output element before the mod-p recombine, so levels
-# bigger than this are chunked through lax.map (bounds peak HBM — an
-# unchunked [135, 2^17] -> 2^20 LDE level would materialize ~9 GB and OOM
-# the 16 GB chip, as the round-3 ECDSA run demonstrated)
-CHUNK_OUT_ELEMS = 1 << 22
+# output is ~68 B per output element before the mod-p recombine (~1.1 GB
+# transient at the default), so levels bigger than this are chunked through
+# a fori_loop of dynamic slices (bounds peak HBM — an unchunked
+# [135, 2^17] -> 2^20 LDE level would materialize ~9 GB and OOM the 16 GB
+# chip, as the round-3 ECDSA run demonstrated). Transpose-free: chunks are
+# last-axis slices written back into a preallocated output.
+CHUNK_OUT_ELEMS = int(os.environ.get("PLONKY2_TPU_NTT_CHUNK", 1 << 24))
 
 
 def _stage_matmul(x3: GF, band_np, bias_total: int) -> GF:
@@ -259,19 +262,26 @@ def _stage_matmul(x3: GF, band_np, bias_total: int) -> GF:
         )                                          # [F, Gc, 17, R]
         return _combine_diags(out, bias_total)     # GF [F, Gc, R]
 
-    if F * G * R <= CHUNK_OUT_ELEMS or G == 1:
+    # static python-unrolled chunks (XLA schedules them with bounded live
+    # intermediates; dynamic-slice loops and lax.map relayouts both measured
+    # slower on chip). Batched shapes chunk the leading axis (contiguous
+    # slices, uneven sizes ok) with the full budget; single-poly shapes
+    # chunk the trailing axis with a smaller one (2^21 measured ~20% faster
+    # than 2^23 at N=2^24 — locality beats dispatch count there).
+    if F > 1:
+        if F * G * R <= CHUNK_OUT_ELEMS:
+            return one(x3)
+        fc = max(1, CHUNK_OUT_ELEMS // (G * R))
+        parts = [one(x3[a:a + fc]) for a in range(0, F, fc)]
+        return GF.concatenate(parts, axis=0)
+    g_budget = max(CHUNK_OUT_ELEMS >> 3, 1 << 18)
+    if G * R <= g_budget:
         return one(x3)
-    gn = 1
-    while F * (G // gn) * R > CHUNK_OUT_ELEMS and gn < G:
-        gn *= 2
-    gc = G // gn
-    xr = GF(x3.lo.reshape(F, K, gn, gc).transpose(2, 0, 1, 3),
-            x3.hi.reshape(F, K, gn, gc).transpose(2, 0, 1, 3))
-    lo, hi = jax.lax.map(lambda p: (lambda r: (r.lo, r.hi))(one(GF(*p))),
-                         (xr.lo, xr.hi))           # [gn, F, gc, R]
-    lo = lo.transpose(1, 0, 2, 3).reshape(F, G, R)
-    hi = hi.transpose(1, 0, 2, 3).reshape(F, G, R)
-    return GF(lo, hi)
+    gc = max(1, g_budget // R)
+    gc = min(1 << (gc.bit_length() - 1), G)        # power-of-2 divisor of G
+    parts = [one(GF(x3.lo[:, :, a:a + gc], x3.hi[:, :, a:a + gc]))
+             for a in range(0, G, gc)]
+    return GF.concatenate(parts, axis=1)
 
 
 def _core(x: GF, lg_N: int, lg_in: int, c: int, e: int, s: int,

@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """On-chip validation + throughput sweep for the MXU limb-matmul NTT.
 
-1. bit-exactness vs the butterfly path (which itself is pinned to the
-   host oracle by tests) at representative sizes
+1. bit-exactness: TPU-executed ntt_mxu vs the SAME code on the CPU backend
+   (which the test suite pins to the butterfly path and the host oracle).
+   A butterfly-vs-mxu on-chip cross-check exists too but is opt-in — each
+   butterfly compile costs ~3 min through the remote-compile tunnel
+   (PLONKY2_TPU_BENCH_BUTTERFLY=1).
 2. throughput sweep: single-poly 2^13..2^24 and the prover shape
-   [135, 2^k], both plain fft and coset LDE, with HBM roofline fractions
+   [135, 2^k], plain fft and coset LDE, with HBM roofline fractions.
 
 Prints one JSON line per result. Run when the axon tunnel is up.
 """
@@ -26,6 +29,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     assert jax.devices()[0].platform == "tpu", jax.devices()
+    cpu = jax.devices("cpu")[0]
 
     from plonky2_tpu.field.goldilocks import GF
     from plonky2_tpu.ops import ntt, ntt_mxu
@@ -38,28 +42,42 @@ def main():
         return GF.from_u64(rng.integers(0, ORDER, size=shape,
                                         dtype=np.uint64))
 
-    # -- correctness on chip (butterfly path forced via env kill switch
-    #    inside a fresh jit; compare to the mxu module directly)
-    os.environ["PLONKY2_TPU_NO_MXU_NTT"] = "1"
-    for lg, batch in ((10, 4), (13, 2)):
-        x = rand((batch, 1 << lg))
+    def on_cpu(fn, x):
+        with jax.default_device(cpu):
+            lo = jax.device_put(np.asarray(jax.device_get(x.lo)), cpu)
+            hi = jax.device_put(np.asarray(jax.device_get(x.hi)), cpu)
+            return fn(GF(lo, hi)).to_u64()
+
+    # -- correctness: TPU execution vs CPU execution of the same transforms
+    #    (CPU is pinned bit-exact to the butterfly path + host oracle by
+    #    tests/test_ntt_mxu.py). Includes a chunked-path size.
+    checks = [
+        ("fft_2^10x4", lambda c: ntt_mxu.fft(c), (4, 1 << 10)),
+        ("lde_2^13x3_rate8", lambda c: ntt_mxu.lde_fft(c, 3, shift=7),
+         (3, 1 << 13)),
+        ("coset_ifft_2^12", lambda c: ntt_mxu.coset_ifft(c, 7), (1 << 12,)),
+    ]
+    for name, fn, shape in checks:
+        x = rand(shape)
+        t0 = time.perf_counter()
+        got = jax.jit(fn)(x).to_u64()
+        want = on_cpu(fn, x)
+        ok = bool(np.array_equal(got, want))
+        print(json.dumps({"check": name, "tpu_matches_cpu": ok,
+                          "s": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+        if not ok:
+            print(json.dumps({"error": "MISMATCH - do not ship"}), flush=True)
+            return 1
+
+    if os.environ.get("PLONKY2_TPU_BENCH_BUTTERFLY"):
+        os.environ["PLONKY2_TPU_NO_MXU_NTT"] = "1"
+        x = rand((4, 1 << 10))
         a = jax.jit(ntt.fft)(x).to_u64()
         b = jax.jit(ntt_mxu.fft)(x).to_u64()
-        ok_fft = bool(np.array_equal(a, b))
-        al = jax.jit(lambda c: ntt.coset_lde(c, 3))(x).to_u64()
-        bl = jax.jit(lambda c: ntt_mxu.lde_fft(c, 3, shift=7))(x).to_u64()
-        ok_lde = bool(np.array_equal(al, bl))
-        ai = jax.jit(ntt.coset_ifft)(x).to_u64()
-        bi = jax.jit(lambda c: ntt_mxu.coset_ifft(c, 7))(x).to_u64()
-        ok_ifft = bool(np.array_equal(ai, bi))
-        print(json.dumps({"check": f"mxu_vs_butterfly_2^{lg}x{batch}",
-                          "fft": ok_fft, "lde": ok_lde,
-                          "coset_ifft": ok_ifft}), flush=True)
-        if not (ok_fft and ok_lde and ok_ifft):
-            print(json.dumps({"error": "MISMATCH — do not ship"}),
-                  flush=True)
-            return 1
-    del os.environ["PLONKY2_TPU_NO_MXU_NTT"]
+        print(json.dumps({"check": "butterfly_vs_mxu_on_chip",
+                          "equal": bool(np.array_equal(a, b))}), flush=True)
+        del os.environ["PLONKY2_TPU_NO_MXU_NTT"]
 
     def bench(fn, x, iters=10):
         out = fn(x)
@@ -70,18 +88,16 @@ def main():
         jax.block_until_ready(out.lo)
         return (time.perf_counter() - t0) / iters
 
-    # -- single-poly sweep: butterfly vs mxu
     for lg in (13, 16, 18, 20, 22, 24):
         x = rand((1 << lg,))
-        dt_m = bench(jax.jit(ntt_mxu.fft), x)
+        dt = bench(jax.jit(ntt_mxu.fft), x)
         n = 1 << lg
         print(json.dumps({
-            "metric": f"ntt_mxu_2^{lg}", "elements_per_s": round(n / dt_m),
-            "ms": round(dt_m * 1e3, 2),
-            "hbm_frac_lower_bound": round(n * 32 / dt_m / HBM, 3)}),
+            "metric": f"ntt_mxu_2^{lg}", "elements_per_s": round(n / dt),
+            "ms": round(dt * 1e3, 2),
+            "hbm_frac_lower_bound": round(n * 32 / dt / HBM, 3)}),
             flush=True)
 
-    # -- prover shape [135, 2^k]: coset LDE rate 8
     for lg in (13, 16, 18):
         x = rand((135, 1 << lg))
         f = jax.jit(lambda c: ntt_mxu.lde_fft(c, 3, shift=7))
@@ -93,20 +109,6 @@ def main():
             "ms": round(dt * 1e3, 2),
             "hbm_frac_lower_bound": round(n_out * 32 / dt / HBM, 3)}),
             flush=True)
-
-    # -- butterfly baselines for the comparison table
-    os.environ["PLONKY2_TPU_NO_MXU_NTT"] = "1"
-    for lg in (18, 24):
-        x = rand((1 << lg,))
-        dt_b = bench(jax.jit(ntt.fft), x, iters=3)
-        print(json.dumps({"metric": f"ntt_butterfly_2^{lg}",
-                          "elements_per_s": round((1 << lg) / dt_b),
-                          "ms": round(dt_b * 1e3, 2)}), flush=True)
-    x = rand((135, 1 << 13))
-    dt_b = bench(jax.jit(lambda c: ntt.coset_lde(c, 3)), x, iters=3)
-    print(json.dumps({"metric": "lde_butterfly_135x2^13_rate8",
-                      "out_elements_per_s": round((135 << 16) / dt_b),
-                      "ms": round(dt_b * 1e3, 2)}), flush=True)
     return 0
 
 

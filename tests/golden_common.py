@@ -28,6 +28,51 @@ def build_fib100():
     return data, data.prove(pw)
 
 
+def build_fib21_config(gc_name: str):
+    """Seeded fib(21) circuit under a named GenericConfig — one golden
+    fixture per hasher configuration (Poseidon2 / Keccak / PoseidonBN128)."""
+    from plonky2_tpu.hash.hashers import CONFIGS
+    builder = CircuitBuilder(CircuitConfig.standard_recursion_config(),
+                             seed=GOLDEN_SEED)
+    a = builder.add_virtual_target()
+    b = builder.add_virtual_target()
+    prev, cur = a, b
+    for _ in range(20):
+        prev, cur = cur, builder.add(prev, cur)
+    for t in (a, b, cur):
+        builder.register_public_input(t)
+    data = builder.build(gc=CONFIGS[gc_name])
+    pw = PartialWitness()
+    pw.set_target(a, 0)
+    pw.set_target(b, 1)
+    return data, data.prove(pw)
+
+
+def build_fib100_wrap(data=None, proof=None):
+    """Seeded recursive wrap of the golden fib(100) proof — the second
+    circuit SHAPE pinned by golden vectors (the recursive verifier circuit's
+    transcript exercises interpolation/random-access/poseidon gate paths the
+    plain fib circuit never touches)."""
+    from plonky2_tpu.recursion.targets import (
+        add_virtual_proof_with_pis, add_virtual_verifier_data,
+        set_proof_with_pis_target, set_verifier_data_target,
+    )
+    from plonky2_tpu.recursion.verifier import verify_proof_circuit
+
+    if data is None:
+        data, proof = build_fib100()
+    config = CircuitConfig.standard_recursion_config()
+    builder = CircuitBuilder(config, seed=GOLDEN_SEED)
+    pt = add_virtual_proof_with_pis(builder, data.common)
+    vt = add_virtual_verifier_data(builder, config.fri_config.cap_height)
+    verify_proof_circuit(builder, pt, vt, data.common)
+    outer = builder.build()
+    pw = PartialWitness()
+    set_proof_with_pis_target(pw, pt, proof)
+    set_verifier_data_target(pw, vt, data.verifier_only)
+    return outer, outer.prove(pw)
+
+
 def extract_transcript(data, proof):
     """Challenge sequence (betas/gammas/alphas/zeta/FRI betas/PoW/queries) +
     circuit digest + serialized proof bytes."""
