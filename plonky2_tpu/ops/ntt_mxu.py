@@ -248,8 +248,15 @@ CHUNK_OUT_ELEMS = int(os.environ.get("PLONKY2_TPU_NTT_CHUNK", 1 << 24))
 
 def _stage_matmul(x3: GF, band_np, bias_total: int) -> GF:
     """One level's banded limb-matmul: x3 [F, K, G] -> GF [F, G, R],
-    chunked over G when the s32 diagonal intermediate would be too large."""
+    chunked over G when the s32 diagonal intermediate would be too large.
+    On TPU the fused Pallas kernel (ntt_mxu_pallas) keeps the diagonal
+    intermediate in VMEM — no HBM round-trip and no chunking needed."""
     F, K, G = x3.shape
+    from . import ntt_mxu_pallas as nmp
+    if nmp.use_pallas():
+        out = nmp.stage_matmul_pallas(x3, band_np, bias_total)
+        if out is not None:
+            return out
     band = jnp.asarray(band_np)                    # s8 [9, K, 17, R]
     R = band.shape[-1]
 
