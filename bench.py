@@ -40,6 +40,30 @@ HBM_GBPS = 819e9   # v5e per-chip HBM bandwidth (roofline denominator)
 ORDER = (1 << 64) - (1 << 32) + 1
 
 
+def _cache_dir(platform: str) -> str:
+    """Persistent-cache dir keyed by a host fingerprint. Round-3 failure
+    mode: /tmp/plonky2_tpu_jax_cache was shared verbatim across machines, and
+    XLA:CPU AOT executables embed the COMPILE machine's CPU features — loading
+    them on a different host churns endlessly ("Compile machine features ...
+    vs host machine features", BENCH_r03.json). Keying the dir by
+    (platform, cpu-flags, jax version) makes cross-machine poisoning
+    structurally impossible."""
+    import hashlib
+    try:
+        import jax
+        ver = jax.__version__
+    except Exception:  # noqa: BLE001
+        ver = "?"
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    key = hashlib.sha1(
+        f"{platform}|{ver}|{flags}".encode()).hexdigest()[:12]
+    return f"/tmp/plonky2_tpu_jax_cache_{key}"
+
+
 def _pin_platform():
     """Pin the jax platform BEFORE any backend init. The TPU plugin blocks
     indefinitely (0% CPU) when its tunnel is down, so probe it in a
@@ -61,10 +85,17 @@ def _pin_platform():
     if want:
         jax.config.update("jax_platforms", want)
     jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/plonky2_tpu_jax_cache")
+                      _cache_dir(want or "tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_threefry_partitionable", True)
+    if want == "cpu":
+        # belt and braces: never load machine-feature-sensitive CPU AOT blobs
+        try:
+            jax.config.update("jax_persistent_cache_enable_xla_caches",
+                              "none")
+        except Exception:  # noqa: BLE001
+            pass
     return want
 
 
@@ -145,11 +176,34 @@ def _bench_chained(step_fn, x, iters):
     return max((time.perf_counter() - t0 - _floor_s()) / iters, 1e-9)
 
 
+_COLLECTED: list = []
+
+
 def emit(metric, value, unit, baseline=None, **extra):
     rec = {"metric": metric, "value": round(value, 1), "unit": unit,
            "vs_baseline": round(value / baseline, 3) if baseline else None}
     rec.update(extra)
+    _collect(rec)
     print(json.dumps(rec), flush=True)
+
+
+def _collect(rec):
+    _COLLECTED.append(rec)
+
+
+def _collect_lines(text: str):
+    """Parse emitted JSON lines out of a child's stdout and forward them."""
+    for line in (text or "").splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if "metric" in rec:
+            _collect(rec)
+            print(line, flush=True)
 
 
 def bench_headline():
@@ -481,29 +535,54 @@ def main():
         name = step.__name__
         elapsed = time.perf_counter() - t_start
         if elapsed > budget:
-            print(json.dumps({"metric": name,
-                              "skipped": "bench time budget exhausted"}),
-                  flush=True)
+            rec = {"metric": name, "skipped": "bench time budget exhausted"}
+            _collect(rec)
+            print(json.dumps(rec), flush=True)
             continue
         cap = min(cap, max(60.0, budget - elapsed + 120))
         if inproc:
             try:
                 step()
             except Exception as e:  # noqa: BLE001
-                print(json.dumps({"metric": name, "error": str(e)[:200]}),
-                      flush=True)
+                rec = {"metric": name, "error": str(e)[:200]}
+                _collect(rec)
+                print(json.dumps(rec), flush=True)
             continue
+        # Children run with captured pipes: their metric lines are forwarded
+        # to stdout AND collected for the end-of-run summary; their stderr
+        # (XLA log spam) is dropped so it cannot drown the metric lines out
+        # of a tail-limited capture window (the round-3 failure mode).
         try:
-            subprocess.run([sys.executable, os.path.abspath(__file__),
-                            "--step", name],
-                           timeout=cap, env=os.environ.copy())
-        except subprocess.TimeoutExpired:
-            print(json.dumps({"metric": name,
-                              "skipped": f"step cap {int(cap)}s exceeded"}),
-                  flush=True)
+            res = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                  "--step", name],
+                                 timeout=cap, env=os.environ.copy(),
+                                 capture_output=True, text=True)
+            _collect_lines(res.stdout)
+        except subprocess.TimeoutExpired as e:
+            out = e.stdout
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
+            _collect_lines(out or "")
+            rec = {"metric": name, "skipped": f"step cap {int(cap)}s exceeded"}
+            _collect(rec)
+            print(json.dumps(rec), flush=True)
         except Exception as e:  # noqa: BLE001
-            print(json.dumps({"metric": name, "error": str(e)[:200]}),
-                  flush=True)
+            rec = {"metric": name, "error": str(e)[:200]}
+            _collect(rec)
+            print(json.dumps(rec), flush=True)
+
+    # Re-emit everything, LEAST important first, so the final lines of the
+    # run (what a tail-window capture keeps, and what "last JSON line"
+    # parsing picks up) are the headline metrics.
+    seen = set()
+    ordered = []
+    for rec in _COLLECTED:
+        key = json.dumps(rec, sort_keys=True)
+        if key not in seen:
+            seen.add(key)
+            ordered.append(rec)
+    for rec in reversed(ordered):
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

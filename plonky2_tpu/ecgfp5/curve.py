@@ -14,6 +14,7 @@ generic OEF helpers (field/reference.py, W=3).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import secrets
 
 from ..field import reference as ref
@@ -122,6 +123,59 @@ GENERATOR = WeierstrassPoint(GENERATOR_X, GENERATOR_Y)
 def scalar_from_gfp5(x: tuple) -> int:
     """sum x_i 2^(64 i) mod n (reference: scalar_field.rs:465-468)."""
     return sum(int(c) << (64 * i) for i, c in enumerate(x)) % N
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base multiplication of the generator
+# (reference: curve/mul_table.rs — 8 tables of 16 affine points
+#  Gk[i] = (i+1) * 2^(40k) * G; curve.rs mulgen:536-560 — 5-bit signed
+#  windows, 8 table lookups per window position, 5 doublings between
+#  positions. The reference bakes the 2,132-LoC tables into the binary;
+#  here they are computed once at first use and cached.)
+# ---------------------------------------------------------------------------
+
+MULGEN_WINDOW_BITS = 5
+MULGEN_NUM_TABLES = 8           # one per 40-bit span of the 320-bit scalar
+MULGEN_DIGITS = 64              # 320 / 5
+
+
+@functools.lru_cache(maxsize=1)
+def mulgen_tables() -> tuple:
+    """8 tables of 16 points: tables[j][i] = (i+1) * 2^(40 j) * G."""
+    tables = []
+    for j in range(MULGEN_NUM_TABLES):
+        base = GENERATOR.mul(pow(2, 40 * j, N))
+        row = [base]
+        for _ in range(15):
+            row.append(row[-1].add(base))
+        tables.append(tuple(row))
+    return tuple(tables)
+
+
+def _lookup_signed(table: tuple, digit: int) -> WeierstrassPoint:
+    """table[|d|-1] negated when d < 0; the zero digit is the neutral
+    (reference: curve.rs AffinePoint::lookup)."""
+    if digit == 0:
+        return NEUTRAL
+    p = table[abs(digit) - 1]
+    return p.neg() if digit < 0 else p
+
+
+def mulgen(k: int) -> WeierstrassPoint:
+    """k * G via the fixed-base window tables (reference curve.rs:536-560);
+    ~35 doublings + 64 table additions instead of ~320 + ~160."""
+    from .scalar_field import Scalar
+    digits = Scalar(k).recode_signed(MULGEN_DIGITS, MULGEN_WINDOW_BITS)
+    tables = mulgen_tables()
+    p = _lookup_signed(tables[0], digits[7])
+    for j in range(1, MULGEN_NUM_TABLES):
+        p = p.add(_lookup_signed(tables[j], digits[8 * j + 7]))
+    for i in range(6, -1, -1):
+        for _ in range(MULGEN_WINDOW_BITS):
+            p = p.double()
+        for j in range(MULGEN_NUM_TABLES):
+            p = p.add(_lookup_signed(tables[j], digits[8 * j + i]))
+    return p
 
 
 # ---------------------------------------------------------------------------

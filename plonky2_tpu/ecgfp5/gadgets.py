@@ -342,11 +342,45 @@ class Gfp5Gadgets:
             result = self.curve_add_gfp5(result, addend)
         return result
 
-    def curve_muladd_2_gfp5(self, a: CurveTarget, b: CurveTarget,
+    def precompute_window_const_gfp5(self, point: ec.WeierstrassPoint,
+                                     window_bits: int) -> list:
+        """Window of CONSTANT multiples [O, P, 2P, ..., (2^w-1)P] — the
+        fixed-base analog of precompute_window_gfp5: the multiples are
+        computed natively and enter the circuit as constants, saving the
+        2^w-2 in-circuit point additions (reference: gadgets/curve.rs
+        precompute_window_const:277-292 backed by the mul_table.rs
+        precomputed windows)."""
+        multiples = [self.curve_zero()]
+        curr = point
+        for _ in range(1, 1 << window_bits):
+            multiples.append(self.curve_constant(curr))
+            curr = curr.add(point)
+        return multiples
+
+    def curve_scalar_mul_const_gfp5(self, point: ec.WeierstrassPoint,
+                                    scalar) -> CurveTarget:
+        """Fixed-base windowed mul: the window is constant, only the
+        doublings and additions are in-circuit (reference: gadgets/curve.rs
+        curve_scalar_mul_const:294-316)."""
+        window = self.precompute_window_const_gfp5(point, 4)
+        digits = self._scalar_windows(scalar, 4)
+        result = self.curve_zero()
+        for d in reversed(digits):
+            for _ in range(4):
+                result = self.curve_double_gfp5(result)
+            addend = self.curve_random_access(d, window)
+            result = self.curve_add_gfp5(result, addend)
+        return result
+
+    def curve_muladd_2_gfp5(self, a, b: CurveTarget,
                             scalar_a, scalar_b) -> CurveTarget:
-        """s_a*A + s_b*B with shared doublings
-        (reference: curve.rs:366-420)."""
-        wa = self.precompute_window_gfp5(a, 4)
+        """s_a*A + s_b*B with shared doublings (reference: curve.rs:366-420).
+        When A is a native WeierstrassPoint (fixed base, e.g. the generator),
+        its window enters as constants — the mul_table.rs fixed-base path."""
+        if isinstance(a, ec.WeierstrassPoint):
+            wa = self.precompute_window_const_gfp5(a, 4)
+        else:
+            wa = self.precompute_window_gfp5(a, 4)
         wb = self.precompute_window_gfp5(b, 4)
         da = self._scalar_windows(scalar_a, 4)
         db = self._scalar_windows(scalar_b, 4)
@@ -412,9 +446,9 @@ def schnorr_verify_circuit(builder, message: list[int],
     msg_targets = [builder.constant(m) for m in message]
     s = builder.constant_nonnative(sig.s, ec.N)
     e = builder.constant_nonnative(sig.e, ec.N)
-    g = builder.curve_generator_gfp5()
     pk_t = builder.curve_constant(pk)
-    r_v = builder.curve_muladd_2_gfp5(g, pk_t, s, e)
+    # generator half rides the fixed-base constant window (mul_table analog)
+    r_v = builder.curve_muladd_2_gfp5(ec.GENERATOR, pk_t, s, e)
     preimage = list(builder.curve_encode_to_quintic_ext(r_v)) + msg_targets
     e_v_ext = tuple(builder.hash_n_to_m_no_pad(preimage, 5))
     e_v = builder.encode_quintic_ext_as_scalar(e_v_ext)

@@ -227,6 +227,147 @@ def _permute_soa(s: list) -> list:
     return s
 
 
+# ---------------------------------------------------------------------------
+# v3 (default): SoA kernel with ROUNDS UNDER fori_loop — round constants
+# travel as small table operands instead of baked immediates. The fully
+# unrolled v2 body is ~25k Mosaic ops and costs 1-3 MINUTES to compile per
+# batch shape (measured r4; the Merkle tree instantiates ~12 shapes, which is
+# exactly why round-3 bench steps blew their caps); the looped body is ~20x
+# smaller and compiles in seconds, with identical per-permutation work.
+# ---------------------------------------------------------------------------
+
+def _full_round_soa_t(s: list, rc_lo, rc_hi, r) -> list:
+    """One full round; constants read from [30, 12] SMEM tables at traced
+    row r (scalar reads — SMEM is the TPU home for control-flow scalars)."""
+    s = [GF(*add(si.lo, si.hi, rc_lo[r, i], rc_hi[r, i]))
+         for i, si in enumerate(s)]
+    s = [_sbox7(si) for si in s]
+    return _mds_soa(s)
+
+
+def _permute_soa_looped(s: list, tables) -> list:
+    """Same schedule as _permute_soa but with the 8 full rounds and 22
+    partial rounds under lax.fori_loop. The 11x11 init matrix (applied once)
+    stays unrolled with immediates."""
+    from ..hash.poseidon import MDS0TO0
+    from ..hash.poseidon_constants import (
+        HALF_N_FULL_ROUNDS, N_PARTIAL_ROUNDS, N_ROUNDS,
+    )
+    from ..hash.poseidon_fast import fast_partial_tables
+    rc_lo, rc_hi, prc_lo, prc_hi, wh_lo, wh_hi, vs_lo, vs_hi = tables
+    first_rc, _partial_rc, _vs, _w_hats, init_mat = fast_partial_tables()
+
+    def pack(s):
+        return tuple(si.lo for si in s) + tuple(si.hi for si in s)
+
+    def unpack(c):
+        return [GF(c[i], c[12 + i]) for i in range(12)]
+
+    def full_body(r, carry):
+        return pack(_full_round_soa_t(unpack(carry), rc_lo, rc_hi, r))
+
+    carry = jax.lax.fori_loop(0, HALF_N_FULL_ROUNDS, full_body, pack(s))
+    s = unpack(carry)
+
+    # partial-rounds init: first constant layer + 11x11 init matrix (once)
+    s = [_addc(si, int(first_rc[i])) for i, si in enumerate(s)]
+    rest = s[1:]
+    new_rest = []
+    for ci in range(11):
+        acc = None
+        for ri in range(11):
+            t = _mulc(rest[ri], int(init_mat[ri][ci]))
+            acc = t if acc is None else acc + t
+        new_rest.append(acc)
+    s = [s[0]] + new_rest
+
+    def partial_body(pr, carry):
+        s = unpack(carry)
+        s0 = _sbox7(s[0])
+        s0 = GF(*add(s0.lo, s0.hi, prc_lo[0, pr], prc_hi[0, pr]))
+        rest = s[1:]
+        d = _mulc(s0, int(MDS0TO0))
+        acc = None
+        for i in range(11):
+            t = GF(*mul(rest[i].lo, rest[i].hi, wh_lo[pr, i], wh_hi[pr, i]))
+            acc = t if acc is None else acc + t
+        d = d + acc
+        out = [d] + [rest[i]
+                     + GF(*mul(s0.lo, s0.hi, vs_lo[pr, i], vs_hi[pr, i]))
+                     for i in range(11)]
+        return pack(out)
+
+    carry = jax.lax.fori_loop(0, N_PARTIAL_ROUNDS, partial_body, pack(s))
+    s = unpack(carry)
+
+    carry = jax.lax.fori_loop(N_ROUNDS - HALF_N_FULL_ROUNDS, N_ROUNDS,
+                              full_body, pack(s))
+    return unpack(carry)
+
+
+@functools.lru_cache(maxsize=1)
+def _round_tables_np():
+    """Constant tables for the looped kernel as u32 numpy pairs:
+    rc [30, 12], prc [1, 22] (2-D for TPU layout), w_hats/vs [22, 11]."""
+    from ..hash.poseidon_constants import (
+        ALL_ROUND_CONSTANTS, N_PARTIAL_ROUNDS, N_ROUNDS,
+    )
+    from ..hash.poseidon_fast import fast_partial_tables
+    _first_rc, partial_rc, vs, w_hats, _init_mat = fast_partial_tables()
+    partial_rc = list(partial_rc)[:N_PARTIAL_ROUNDS - 1] + [0]
+
+    def split(arr2d):
+        a = np.asarray(arr2d, dtype=np.uint64)
+        return (a & np.uint64(0xFFFFFFFF)).astype(np.uint32), \
+            (a >> np.uint64(32)).astype(np.uint32)
+
+    rc = np.asarray(ALL_ROUND_CONSTANTS[:N_ROUNDS * 12],
+                    dtype=np.uint64).reshape(N_ROUNDS, 12)
+    out = []
+    out.extend(split(rc))
+    out.extend(split(np.asarray(partial_rc, dtype=np.uint64).reshape(1, -1)))
+    out.extend(split(np.asarray(w_hats, dtype=np.uint64)))
+    out.extend(split(np.asarray(vs, dtype=np.uint64)))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _permute_fn_soa_v3(batch: int, tile: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t8 = tile // 8
+    b8 = batch // 8
+    grid = (b8 // t8,)
+    spec = pl.BlockSpec((12, 8, t8), lambda g: (0, 0, g))
+    tables_np = _round_tables_np()
+    table_specs = [
+        pl.BlockSpec(t.shape, (lambda g, nd=t.ndim: (0,) * nd),
+                     memory_space=pltpu.SMEM)
+        for t in tables_np
+    ]
+    out_shape = [jax.ShapeDtypeStruct((12, 8, b8), jnp.uint32)] * 2
+
+    def kernel(lo_ref, hi_ref, *rest):
+        table_refs, (out_lo_ref, out_hi_ref) = rest[:-2], rest[-2:]
+        s = [GF(lo_ref[i], hi_ref[i]) for i in range(12)]
+        s = _permute_soa_looped(s, table_refs)
+        for i in range(12):
+            out_lo_ref[i] = s[i].lo
+            out_hi_ref[i] = s[i].hi
+
+    def run(lo, hi):
+        olo, ohi = pl.pallas_call(
+            kernel, grid=grid, in_specs=[spec, spec] + table_specs,
+            out_specs=[spec, spec], out_shape=out_shape,
+            interpret=interpret,
+        )(lo.reshape(12, 8, b8), hi.reshape(12, 8, b8),
+          *[jnp.asarray(t) for t in tables_np])
+        return olo.reshape(12, batch), ohi.reshape(12, batch)
+
+    return run if interpret else jax.jit(run)
+
+
 @functools.lru_cache(maxsize=None)
 def _permute_fn_soa(batch: int, tile: int, interpret: bool):
     from jax.experimental import pallas as pl
@@ -265,7 +406,9 @@ def permute_lanes_pallas(st: GF, tile: int | None = None,
         t = tile or min(TILE_SOA, B)
         while B % t:
             t //= 2
-        lo, hi = _permute_fn_soa(B, t, interpret)(st.lo, st.hi)
+        fn = (_permute_fn_soa if os.environ.get("PLONKY2_TPU_POSEIDON_V2")
+              else _permute_fn_soa_v3)
+        lo, hi = fn(B, t, interpret)(st.lo, st.hi)
         return GF(lo, hi)
     t = tile or min(TILE, B)
     while B % t:
