@@ -54,11 +54,15 @@ def _cache_dir(platform: str) -> str:
         ver = jax.__version__
     except Exception:  # noqa: BLE001
         ver = "?"
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
-    except OSError:
-        flags = ""
+    flags = ""
+    if platform == "cpu":
+        # only XLA:CPU AOT blobs embed host CPU features; TPU executables are
+        # portable across hosts, so keep the TPU cache shared across machines
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((l for l in f if l.startswith("flags")), "")
+        except OSError:
+            pass
     key = hashlib.sha1(
         f"{platform}|{ver}|{flags}".encode()).hexdigest()[:12]
     return f"/tmp/plonky2_tpu_jax_cache_{key}"
@@ -336,14 +340,14 @@ def bench_fri_open():
 def bench_merkle():
     import jax
     from plonky2_tpu.field.goldilocks import GF
-    from plonky2_tpu.hash.merkle import _build_fn
+    from plonky2_tpu.hash.merkle import build_tree_layers
 
     rng = np.random.default_rng(2)
     lg_n, leaf_size, cap_height = 20, 8, 4
     n = 1 << lg_n
     leaves = GF.from_u64(
         rng.integers(0, ORDER, size=(n, leaf_size), dtype=np.uint64))
-    fn = _build_fn(lg_n, leaf_size, cap_height)
+    fn = lambda lv: build_tree_layers(lv, cap_height)
     dt = _bench(lambda i: fn(GF(leaves.lo ^ np.uint32(i + 1),
                                 leaves.hi))[-1].lo)
     hashes = n + (n - (1 << cap_height))   # leaf hashes + compressions
@@ -356,14 +360,14 @@ def bench_merkle_wide():
     blocks + 17 absorb rounds), reference plonky2/benches/merkle.rs:13-27."""
     import jax
     from plonky2_tpu.field.goldilocks import GF
-    from plonky2_tpu.hash.merkle import _build_fn
+    from plonky2_tpu.hash.merkle import build_tree_layers
 
     rng = np.random.default_rng(5)
     lg_n, leaf_size, cap_height = 13, 135, 4
     n = 1 << lg_n
     leaves = GF.from_u64(
         rng.integers(0, ORDER, size=(n, leaf_size), dtype=np.uint64))
-    fn = _build_fn(lg_n, leaf_size, cap_height)
+    fn = lambda lv: build_tree_layers(lv, cap_height)
     dt = _bench(lambda i: fn(GF(leaves.lo ^ np.uint32(i + 1),
                                 leaves.hi))[-1].lo)
     # 17 sponge permutations per leaf + 1 per compression

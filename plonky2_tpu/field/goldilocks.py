@@ -141,6 +141,60 @@ def _canonicalize(lo, hi):
 
 
 # ---------------------------------------------------------------------------
+# Host-side (numpy) vectorized field mul — for precomputed tables.
+#
+# Twiddle/shift-power tables were previously built with eager jnp ops, and
+# every eager op compiles its own one-op XLA program: a single prove triggered
+# ~60 such compiles, each costing seconds through the TPU tunnel. Table
+# precompute is host work; numpy does it with zero compiles.
+# ---------------------------------------------------------------------------
+
+_U64_EPS = np.uint64(0xFFFFFFFF)
+_U64_ORDER = np.uint64(ORDER)
+_U64_32 = np.uint64(32)
+_U64_MASK = np.uint64(0xFFFFFFFF)
+
+
+def mul_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Goldilocks multiply on canonical uint64 numpy arrays
+    (same reduce128 schedule as the device path / reference
+    field/src/goldilocks_field.rs:406-462)."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    a_lo, a_hi = a & _U64_MASK, a >> _U64_32
+    b_lo, b_hi = b & _U64_MASK, b >> _U64_32
+    ll = a_lo * b_lo
+    cross1 = a_lo * b_hi + (ll >> _U64_32)
+    cross2 = a_hi * b_lo + (cross1 & _U64_MASK)
+    hi128 = a_hi * b_hi + (cross1 >> _U64_32) + (cross2 >> _U64_32)
+    lo128 = (cross2 << _U64_32) | (ll & _U64_MASK)
+    # reduce: x = hi128*2^64 + lo128 === lo128 - hi_hi + hi_lo*EPSILON (mod p)
+    hi_hi, hi_lo = hi128 >> _U64_32, hi128 & _U64_MASK
+    borrow = lo128 < hi_hi
+    t0 = lo128 - hi_hi
+    t0 = np.where(borrow, t0 - _U64_EPS, t0)
+    t1 = hi_lo * _U64_EPS
+    res = t0 + t1
+    res = np.where(res < t0, res + _U64_EPS, res)
+    return np.where(res >= _U64_ORDER, res - _U64_ORDER, res)
+
+
+def powers_np(base: int, n: int) -> np.ndarray:
+    """[base^0 .. base^{n-1}] as canonical uint64, via log-doubling."""
+    out = np.ones(max(n, 1), dtype=np.uint64)
+    if n <= 1:
+        return out[:n]
+    out[1] = base % ORDER
+    filled = 2
+    while filled < n:
+        k = min(filled, n - filled)
+        step = mul_np(out[filled - 1:filled], out[1:2])   # base^filled
+        out[filled:filled + k] = mul_np(step, out[:k])
+        filled += k
+    return out[:n]
+
+
+# ---------------------------------------------------------------------------
 # Field ops on raw (lo, hi) uint32 pairs — canonical in, canonical out
 # ---------------------------------------------------------------------------
 
@@ -296,17 +350,19 @@ class GF:
 
     @staticmethod
     def zeros(shape) -> "GF":
-        return GF(jnp.zeros(shape, u32), jnp.zeros(shape, u32))
+        # numpy-backed: inside a trace these become constants; outside they
+        # avoid compiling a one-op XLA program per call site
+        return GF(np.zeros(shape, np.uint32), np.zeros(shape, np.uint32))
 
     @staticmethod
     def ones(shape) -> "GF":
-        return GF(jnp.ones(shape, u32), jnp.zeros(shape, u32))
+        return GF(np.ones(shape, np.uint32), np.zeros(shape, np.uint32))
 
     @staticmethod
     def const(value: int, shape=()) -> "GF":
         value %= ORDER
-        return GF(jnp.full(shape, np.uint32(value & 0xFFFFFFFF), u32),
-                  jnp.full(shape, np.uint32(value >> 32), u32))
+        return GF(np.full(shape, np.uint32(value & 0xFFFFFFFF), np.uint32),
+                  np.full(shape, np.uint32(value >> 32), np.uint32))
 
     def to_u64(self) -> np.ndarray:
         """Host-side read-back as numpy uint64."""

@@ -40,11 +40,16 @@ SALT_SIZE = 4
 @lru_cache(maxsize=None)
 def _commit_fn(num_polys: int, lg_n: int, rate_bits: int, cap_height: int,
                salt_size: int, hasher_name: str = "poseidon"):
-    """Jitted commit pipeline: coeffs [num, n] (+ salt [salt, N]) ->
-    (leaves [N, num+salt], merkle layers). For host-only hashers the device
-    program stops at the leaves and Merkle layers build on host."""
+    """Commit pipeline: coeffs [num, n] (+ salt [salt, N]) ->
+    (leaves [N, num+salt], merkle layers). The jitted device program covers
+    LDE + transpose + bit-reverse + the LEAF hash (in lanes layout, absorb
+    loop under scan); the compress levels dispatch as per-size cached
+    programs shared across every tree shape (hash/merkle.build_tree_layers)
+    — one monolithic per-shape tree program took minutes of XLA compile and
+    blew the round-3 bench caps. For host-only hashers the device program
+    stops at the leaves and Merkle layers build on host."""
     from ..hash.hashers import HASHERS_BY_NAME
-    from ..hash.merkle import host_layers_preferred
+    from ..hash.merkle import build_tree_layers, host_layers_preferred
     hasher = HASHERS_BY_NAME[hasher_name]
     n = 1 << lg_n
     N = n << rate_bits
@@ -52,6 +57,7 @@ def _commit_fn(num_polys: int, lg_n: int, rate_bits: int, cap_height: int,
     # on CPU hosts the native C batch hashers beat executing the XLA tree
     # program by orders of magnitude; stop the device program at the leaves
     host_layers = not hasher.device or host_layers_preferred()
+    lanes = getattr(hasher, "hash_or_noop_lanes", None) is not None
 
     def commit(coeffs: GF, salt: GF):
         lde = ntt.coset_lde(coeffs, rate_bits)       # [num, N]
@@ -61,10 +67,26 @@ def _commit_fn(num_polys: int, lg_n: int, rate_bits: int, cap_height: int,
         leaves = leaves.take(rev, axis=0)            # bit-reversed row order
         if host_layers:
             return leaves, None
-        layers = build_layers(leaves, cap_height, hasher)
+        # leaf digests straight off the lanes-layout LDE: hash first, then
+        # bit-reverse the [4, N] digest lanes (4 rows vs num_polys rows)
+        if jax.default_backend() == "tpu" and lanes:
+            dig = hasher.hash_or_noop_lanes(lde)     # [4, N]
+            leaf_layer = dig.take(rev, axis=-1).transpose(1, 0)
+        else:
+            leaf_layer = hasher.hash_or_noop_dev(leaves)
+        return leaves, leaf_layer
+
+    jfn = jax.jit(commit)
+
+    def run(coeffs: GF, salt: GF):
+        leaves, leaf_layer = jfn(coeffs, salt)
+        if leaf_layer is None:
+            return leaves, None
+        layers = build_tree_layers(leaves, cap_height, hasher,
+                                   leaf_layer=leaf_layer)
         return leaves, layers
 
-    return jax.jit(commit)
+    return run
 
 
 @lru_cache(maxsize=None)
@@ -189,13 +211,13 @@ def _reduce_fn(num_polys: int, n: int):
 
 
 @lru_cache(maxsize=None)
-def _powers_fn(n: int):
-    return jax.jit(lambda z: gf2_powers(z, n))
-
-
-@lru_cache(maxsize=None)
-def _w_fn(n: int):
-    return jax.jit(lambda p, zpow: p * zpow)
+def _quotient_prep_fn(n: int):
+    def f(comp: GF2, z: GF2):
+        zinv = z.inverse()
+        zinv_pow = gf2_powers(zinv, n) * zinv.broadcast_to((n,))
+        w = comp * gf2_powers(z, n)
+        return w, zinv_pow
+    return jax.jit(f)
 
 
 @lru_cache(maxsize=None)
@@ -214,11 +236,9 @@ def _q_fn(n: int):
 
 def _quotient_stages(n: int, z: GF2, comp: GF2) -> GF2:
     """divide_by_linear as isolated jit stages (the fused suffix-scan +
-    multiply-chain program hits a pathological XLA:CPU compile)."""
-    zpow = _powers_fn(n)(z)
-    zinv = z.inverse()
-    zinv_pow = _powers_fn(n)(zinv) * zinv.broadcast_to((n,))
-    w = _w_fn(n)(comp, zpow)
+    multiply-chain program hits a pathological XLA:CPU compile; the prep,
+    suffix-scan and final multiply stages each compile in seconds)."""
+    w, zinv_pow = _quotient_prep_fn(n)(comp, z)
     s = _suffix_fn(n)(w)
     return _q_fn(n)(s, zinv_pow)
 

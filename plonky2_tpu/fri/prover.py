@@ -44,6 +44,18 @@ def _flatten_ext_leaves(values_brv: GF2, arity: int) -> GF:
 
 
 @lru_cache(maxsize=None)
+def _brv_leaves_fn(n: int, arity: int):
+    """Jitted: ext values [n] -> bit-reversed arity-chunked leaves."""
+    rev = reverse_index_bits_perm(n)
+
+    def f(values: GF2):
+        brv = values.take(jnp.asarray(rev), axis=-1)
+        return _flatten_ext_leaves(brv, arity)
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
 def _fold_layer_fn(n: int, arity_bits: int, shift: int):
     """Jitted: (coeffs [n], beta) -> (folded coeffs [n/arity], values [n/arity])."""
 
@@ -65,8 +77,7 @@ def fri_committed_trees(coeffs: GF2, values: GF2, challenger: Challenger,
     for arity_bits in fri_params.reduction_arity_bits:
         arity = 1 << arity_bits
         n = values.shape[-1]
-        brv = values.take(jnp.asarray(reverse_index_bits_perm(n)), axis=-1)
-        leaves = _flatten_ext_leaves(brv, arity)
+        leaves = _brv_leaves_fn(n, arity)(values)
         tree = MerkleTree(leaves, cap_height, hasher=hasher)
         challenger.observe_cap(tree.cap_digests())
         trees.append(tree)
@@ -224,31 +235,36 @@ def _pow_grind_host(hasher, state: list[int], witness_pos: int,
 
 def fri_prover_query_rounds(initial_merkle_trees, trees, challenger: Challenger,
                             n: int, fri_params: FriParams):
+    """All query rounds via BATCHED per-tree gathers: one jitted gather + one
+    readback per tree for rows and one for sibling paths, instead of pulling
+    every tree's full leaf/digest buffers to the host per round (28 rounds x
+    4 oracles of MB-scale readbacks through the tunnel)."""
     indices = [c % n for c in
                challenger.get_n_challenges(fri_params.config.num_query_rounds)]
-    rounds = []
-    for x_index in indices:
-        rounds.append(_query_round(initial_merkle_trees, trees, x_index,
-                                   fri_params))
-    return rounds, indices
-
-
-def _query_round(initial_merkle_trees, trees, x_index: int,
-                 fri_params: FriParams) -> FriQueryRound:
-    initial = [(t.leaves_host()[x_index], t.prove(x_index))
-               for t in initial_merkle_trees]
-    steps = []
+    k = len(indices)
+    init_rows = [t.rows_batch(indices) for t in initial_merkle_trees]
+    init_paths = [t.prove_batch(indices) for t in initial_merkle_trees]
+    cur = np.asarray(indices, dtype=np.int64)
+    step_rows, step_paths = [], []
     for i, tree in enumerate(trees):
-        arity_bits = fri_params.reduction_arity_bits[i]
-        row = tree.leaves_host()[x_index >> arity_bits]
-        evals = [(int(row[2 * k]), int(row[2 * k + 1]))
-                 for k in range(len(row) // 2)]
-        steps.append(FriQueryStep(evals=evals,
-                                  merkle_proof=tree.prove(x_index >> arity_bits)))
-        x_index >>= arity_bits
-    return FriQueryRound(
-        initial_trees_proof=FriInitialTreeProof(evals_proofs=initial),
-        steps=steps)
+        cur = cur >> fri_params.reduction_arity_bits[i]
+        step_rows.append(tree.rows_batch(cur))
+        step_paths.append(tree.prove_batch(cur))
+    rounds = []
+    for q in range(k):
+        initial = [(init_rows[t][q], init_paths[t][q])
+                   for t in range(len(initial_merkle_trees))]
+        steps = []
+        for i in range(len(trees)):
+            row = step_rows[i][q]
+            evals = [(int(row[2 * j]), int(row[2 * j + 1]))
+                     for j in range(len(row) // 2)]
+            steps.append(FriQueryStep(evals=evals,
+                                      merkle_proof=step_paths[i][q]))
+        rounds.append(FriQueryRound(
+            initial_trees_proof=FriInitialTreeProof(evals_proofs=initial),
+            steps=steps))
+    return rounds, indices
 
 
 def fri_proof(initial_merkle_trees, lde_polynomial_coeffs: GF2,

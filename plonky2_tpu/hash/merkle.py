@@ -86,6 +86,102 @@ def _build_fn(lg_n: int, leaf_size: int, cap_height: int,
                            hasher=hasher))
 
 
+# ---------------------------------------------------------------------------
+# Dispatched tree build — per-size cached programs instead of one monolith.
+#
+# The monolithic tree jit inlines one permutation instance per level; its
+# per-shape XLA compile (~4 min for a 2^16-leaf commit) is what blew the
+# round-3 bench step caps. Splitting by level makes each program tiny AND
+# shared across every tree shape in the process (the prover builds 4+ trees
+# per proof and FRI builds one per fold layer — they all reuse the same
+# per-size compress programs, and the persistent cache reuses them across
+# processes).
+# ---------------------------------------------------------------------------
+
+_LEVEL_GROUP_MAX = 256   # levels at or below this node count run in ONE
+                         # grouped program (small data; scan path compiles
+                         # fast); larger levels dispatch individually so the
+                         # Pallas kernel programs are cached per size
+
+
+@lru_cache(maxsize=None)
+def _leaf_hash_fn(lg_n: int, leaf_size: int, hasher_name: str):
+    """jit: leaves [n, leaf_size] -> leaf digest layer [n, 4]."""
+    from .hashers import HASHERS_BY_NAME
+    hasher = HASHERS_BY_NAME[hasher_name]
+
+    def f(leaves: GF):
+        if (jax.default_backend() == "tpu"
+                and getattr(hasher, "hash_or_noop_lanes", None) is not None):
+            return hasher.hash_or_noop_lanes(
+                leaves.transpose(1, 0)).transpose(1, 0)
+        return hasher.hash_or_noop_dev(leaves)
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _level_fn(m: int, hasher_name: str):
+    """jit: digest layer [m, 4] -> [m//2, 4] (one compress level)."""
+    from .hashers import HASHERS_BY_NAME
+    hasher = HASHERS_BY_NAME[hasher_name]
+
+    def f(layer: GF):
+        if (jax.default_backend() == "tpu"
+                and getattr(hasher, "compress_lanes", None) is not None):
+            lanes = layer.transpose(1, 0)
+            return hasher.compress_lanes(
+                lanes[:, 0::2], lanes[:, 1::2]).transpose(1, 0)
+        pairs = layer.reshape(m // 2, 2, 4)
+        return hasher.compress_dev(pairs[:, 0], pairs[:, 1])
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _levels_grouped_fn(lg_m: int, cap_height: int, hasher_name: str):
+    """jit: digest layer [2^lg_m, 4] -> tuple of the remaining layers down
+    to the cap (small sizes — compiles fast even unrolled)."""
+    from .hashers import HASHERS_BY_NAME
+    hasher = HASHERS_BY_NAME[hasher_name]
+
+    def f(layer: GF):
+        outs = []
+        for _ in range(lg_m - cap_height):
+            m = layer.shape[0] // 2
+            pairs = layer.reshape(m, 2, 4)
+            layer = hasher.compress_dev(pairs[:, 0], pairs[:, 1])
+            outs.append(layer)
+        return tuple(outs)
+
+    return jax.jit(f)
+
+
+def build_tree_layers(leaves: GF, cap_height: int, hasher=None,
+                      leaf_layer: GF | None = None) -> tuple:
+    """Non-traced tree build: cached per-shape leaf program + cached per-size
+    level programs (a handful of ~ms dispatches instead of one monolithic
+    compile). `leaf_layer` lets callers that already computed the leaf digest
+    layer (the fused commit program) skip the leaf pass."""
+    if hasher is None:
+        from .hashers import POSEIDON
+        hasher = POSEIDON
+    n, leaf_size = leaves.shape
+    lg_n = log2_strict(n)
+    if leaf_layer is None:
+        leaf_layer = _leaf_hash_fn(lg_n, leaf_size, hasher.name)(leaves)
+    layers = [leaf_layer]
+    m = n
+    cap_n = 1 << cap_height
+    while m > max(cap_n, _LEVEL_GROUP_MAX):
+        layers.append(_level_fn(m, hasher.name)(layers[-1]))
+        m //= 2
+    if m > cap_n:
+        layers.extend(_levels_grouped_fn(log2_strict(m), cap_height,
+                                         hasher.name)(layers[-1]))
+    return tuple(layers)
+
+
 class MerkleTree:
     """leaves: GF [n, leaf_size]. For device hashers (Poseidon family) the
     digest layers live on device; byte-digest hashers (Keccak) and host-only
@@ -106,8 +202,7 @@ class MerkleTree:
         if layers is not None:
             self.layers = layers
         elif hasher.device and not host_layers_preferred():
-            self.layers = _build_fn(self.lg_n, leaf_size, cap_height,
-                                    hasher.name)(leaves)
+            self.layers = build_tree_layers(leaves, cap_height, hasher)
         else:
             self.layers = None
             self._layers_np = self._build_host_layers()
@@ -134,9 +229,15 @@ class MerkleTree:
         return self._layers_np[-1]
 
     def cap_digests(self) -> list:
-        """Cap as host digests (tuples of 4 ints, or 25-byte bytes)."""
-        return [self.hasher.digest_from_row(row)
-                for row in self._layers_host()[-1]]
+        """Cap as host digests (tuples of 4 ints, or 25-byte bytes).
+        Reads back ONLY the cap layer (2^cap_height rows), never the full
+        digest buffer — the prover observes a cap after every commit and a
+        full-layer readback through the TPU tunnel costs ~MBs each time."""
+        if self.layers is not None and not hasattr(self, "_layers_np"):
+            cap = self.layers[-1].to_u64()
+        else:
+            cap = self._layers_host()[-1]
+        return [self.hasher.digest_from_row(row) for row in cap]
 
     def leaves_host(self) -> np.ndarray:
         if not hasattr(self, "_leaves_np"):
@@ -162,8 +263,31 @@ class MerkleTree:
         return np.stack(sibs)
 
     def prove_batch(self, leaf_indices) -> np.ndarray:
-        """uint64 [k, lg_n - cap_height, 4] for many indices at once."""
+        """uint64 [k, lg_n - cap_height, 4] for many indices at once.
+
+        Device-layer trees gather all k sibling paths in ONE jitted program
+        and one readback (the FRI query phase needs 28 paths per tree; the
+        old per-path route pulled every digest layer to the host first)."""
+        if self.layers is not None and not hasattr(self, "_layers_np"):
+            idxs = np.asarray(list(leaf_indices), dtype=np.int32)
+            depth = self.lg_n - self.cap_height
+            if depth == 0:
+                return np.zeros((len(idxs), 0, 4), dtype=np.uint64)
+            out = _path_gather_fn(self.lg_n, self.cap_height)(
+                self.layers[:depth], jnp.asarray(idxs))
+            return out.to_u64()
         return np.stack([self.prove(int(i)) for i in leaf_indices])
+
+    def rows_batch(self, leaf_indices) -> np.ndarray:
+        """uint64 [k, leaf_size] leaf rows; device gather + one readback for
+        device trees, host slice otherwise."""
+        idxs = np.asarray(list(leaf_indices), dtype=np.int32)
+        if not hasattr(self, "_leaves_np") and hasattr(self.leaves, "lo") \
+                and not isinstance(self.leaves.lo, np.ndarray):
+            rows = _rows_gather_fn(self.lg_n, self.leaves.shape[1])(
+                self.leaves, jnp.asarray(idxs))
+            return rows.to_u64()
+        return self.leaves_host()[idxs]
 
     # -- okx mutable-tree ops -------------------------------------------------
     def change_leaf_and_update(self, leaf: GF, leaf_index: int) -> None:
@@ -225,6 +349,27 @@ class MerkleTree:
                                                          prev[1::2])
         if hasattr(self, "_leaves_np"):
             delattr(self, "_leaves_np")
+
+
+@lru_cache(maxsize=None)
+def _path_gather_fn(lg_n: int, cap_height: int):
+    """jit: (digest layers tuple, idxs [k]) -> sibling paths GF [k, depth, 4].
+    Level ℓ sibling of leaf index i is layers[ℓ][(i >> ℓ) ^ 1]."""
+    depth = lg_n - cap_height
+
+    def f(layers, idxs):
+        sibs = []
+        for level in range(depth):
+            sel = (idxs >> level) ^ 1
+            sibs.append(layers[level].take(sel, axis=0))
+        return GF.stack(sibs, axis=1)
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _rows_gather_fn(lg_n: int, leaf_size: int):
+    return jax.jit(lambda leaves, idxs: leaves.take(idxs, axis=0))
 
 
 # ---------------------------------------------------------------------------

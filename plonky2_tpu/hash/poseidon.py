@@ -403,14 +403,33 @@ def permute_lanes(st: GF) -> GF:
 def hash_no_pad_lanes(inputs: GF) -> GF:
     """Sponge in lanes layout end-to-end: inputs [L, B] -> digests [4, B]
     (no per-permutation transposes — the whole Merkle leaf pass stays in the
-    batch-fills-the-lanes layout)."""
+    batch-fills-the-lanes layout).
+
+    Full rate-8 chunks absorb under ONE lax.scan: a 135-element leaf would
+    otherwise inline 17 separate permutation instances into the graph, and
+    the per-shape XLA compile of that program is what blew the round-3 bench
+    step caps on chip (~4 min for one Merkle commit program)."""
     L, B = inputs.shape
     state = GF.zeros((SPONGE_WIDTH, B))
     n_full, rem = divmod(L, SPONGE_RATE)
-    for k in range(n_full):
-        chunk = inputs[k * SPONGE_RATE:(k + 1) * SPONGE_RATE]
+    if n_full == 1:
+        chunk = inputs[:SPONGE_RATE]
         state = GF.concatenate([chunk, state[SPONGE_RATE:]], axis=0)
         state = permute_lanes(state)
+    elif n_full > 1:
+        chunks = inputs[:n_full * SPONGE_RATE].reshape(n_full, SPONGE_RATE, B)
+
+        def body(carry, xs):
+            lo, hi = carry
+            c_lo, c_hi = xs
+            st = GF.concatenate(
+                [GF(c_lo, c_hi), GF(lo, hi)[SPONGE_RATE:]], axis=0)
+            st = permute_lanes(st)
+            return (st.lo, st.hi), None
+
+        (lo, hi), _ = jax.lax.scan(body, (state.lo, state.hi),
+                                   (chunks.lo, chunks.hi))
+        state = GF(lo, hi)
     if rem:
         chunk = inputs[n_full * SPONGE_RATE:]
         state = GF.concatenate([chunk, state[rem:]], axis=0)

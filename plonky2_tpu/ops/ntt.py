@@ -43,15 +43,14 @@ def _use_mxu(lg_out: int) -> bool:
 @lru_cache(maxsize=None)
 def _half_twiddles(lg_n: int):
     """Powers g^0..g^{n/2-1} of the 2^lg_n-th root of unity, as host numpy
-    limb arrays (become jit-time constants)."""
+    limb arrays (become jit-time constants). Pure-numpy precompute: the old
+    eager-jnp path compiled ~10 one-op XLA programs per table."""
+    from ..field.goldilocks import powers_np
     n = 1 << lg_n
     g = ref.primitive_root_of_unity(lg_n)
-    with jax.ensure_compile_time_eval():
-        if lg_n <= 1:
-            tw = GF.from_u64(np.array([1], dtype=np.uint64))
-        else:
-            tw = jax.jit(lambda: gf_powers(GF.const(g), n // 2))()
-    return (np.asarray(jax.device_get(tw.lo)), np.asarray(jax.device_get(tw.hi)))
+    tw = powers_np(g, max(n // 2, 1))
+    return ((tw & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (tw >> np.uint64(32)).astype(np.uint32))
 
 
 def stage_twiddles(lg_n: int, stage: int) -> GF:
@@ -203,9 +202,10 @@ def coset_ifft(values: GF, shift: int = MULTIPLICATIVE_GROUP_GENERATOR) -> GF:
 
 @lru_cache(maxsize=None)
 def _shift_powers_np(shift: int, n: int):
-    with jax.ensure_compile_time_eval():
-        tw = jax.jit(lambda: gf_powers(GF.const(shift), n))()
-    return (np.asarray(jax.device_get(tw.lo)), np.asarray(jax.device_get(tw.hi)))
+    from ..field.goldilocks import powers_np
+    tw = powers_np(shift, n)
+    return ((tw & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (tw >> np.uint64(32)).astype(np.uint32))
 
 
 def _shift_powers(shift: int, n: int) -> GF:

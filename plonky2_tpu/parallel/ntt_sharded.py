@@ -53,13 +53,13 @@ def _twiddle_factor_tables(lg_n: int, lg_n1: int, lg_n2: int):
     w = ref.primitive_root_of_unity(lg_n)
 
     def rows(base_exp: int, count: int):
+        from ..field.goldilocks import powers_np
         los, his = [], []
-        with jax.ensure_compile_time_eval():
-            for a in range(count):
-                base = ref.exp(w, base_exp * a)
-                tw = jax.jit(lambda b=base: gf_powers(GF.const(b), n1))()
-                los.append(np.asarray(jax.device_get(tw.lo)))
-                his.append(np.asarray(jax.device_get(tw.hi)))
+        for a in range(count):
+            base = ref.exp(w, base_exp * a)
+            tw = powers_np(base, n1)
+            los.append((tw & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+            his.append((tw >> np.uint64(32)).astype(np.uint32))
         return np.stack(los), np.stack(his)
 
     u = rows(1 << h, 1 << (lg_n2 - h))   # U[a] = powers of w^(2^h * a)

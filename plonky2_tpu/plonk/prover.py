@@ -78,7 +78,7 @@ def prove(prover_data: ProverOnlyData, common: CommonCircuitData,
                                      common.quotient_degree_factor,
                                      tuple(common.k_is))
         for i in range(num_challenges):
-            z, pps = pp_fn(wires_gf[:config.num_routed_wires], sigmas_gf,
+            z, pps = pp_fn(wires_gf, sigmas_gf,
                            subgroup_gf, GF.const(betas[i]),
                            GF.const(gammas[i]))
             zs_rows.append(z.reshape(1, -1))
@@ -202,6 +202,7 @@ def _pp_stages(num_routed: int, degree: int, max_degree: int, k_is: tuple):
     def chunks_stage(wires: GF, sigmas: GF, subgroup: GF, beta: GF,
                      gamma: GF):
         nr, n = num_routed, degree
+        wires = wires[:nr]       # routed wires only (slice inside the trace)
         k_arr = GF.from_u64(np.asarray(k_is, dtype=np.uint64))
         x = subgroup.reshape(1, n).broadcast_to((nr, n))
         k = k_arr.reshape(nr, 1).broadcast_to((nr, n))
@@ -290,20 +291,29 @@ def compute_quotient_polys(common, prover_data, public_inputs_hash,
               as_gf(alphas), as_gf(public_inputs_hash))
 
 
+@lru_cache(maxsize=None)
+def _natural_lde_fn(N: int, num: int, step: int, salt: int):
+    rev = reverse_index_bits_perm(N)
+
+    def f(leaves: GF):
+        natural = leaves.take(jnp.asarray(rev), axis=0)
+        if step > 1:
+            natural = natural[::step]
+        if salt:
+            natural = natural[:, :natural.shape[1] - salt]
+        return natural.transpose(1, 0)
+
+    return jax.jit(f)
+
+
 def _natural_lde(commitment, step: int) -> GF:
     """[num_polys, N/step] LDE values in natural point order, recovered from
     the commitment's bit-reversed leaves (reference: oracle.rs get_lde_values
-    :474 — same data, device-side gather)."""
+    :474 — same data, one jitted device-side gather)."""
     leaves = commitment.merkle_tree.leaves   # [N, num+salt] bit-reversed
-    N = leaves.shape[0]
-    rev = jnp.asarray(reverse_index_bits_perm(N))
-    natural = leaves.take(rev, axis=0)
-    if step > 1:
-        natural = natural[::step]
+    N, cols = leaves.shape
     salt = 4 if commitment.blinding else 0
-    if salt:
-        natural = natural[:, :natural.shape[1] - salt]
-    return natural.transpose(1, 0)
+    return _natural_lde_fn(N, cols, step, salt)(leaves)
 
 
 _QUOTIENT_FNS: dict = {}
