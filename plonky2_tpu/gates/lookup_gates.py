@@ -138,6 +138,11 @@ class LookupGadgets:
     def add_lookup_table_from_table(self, inputs, outputs) -> int:
         return self.add_lookup_table_from_pairs(list(zip(inputs, outputs)))
 
+    def add_lookup_table_from_fn(self, fn, inputs) -> int:
+        """(reference: circuit_builder.rs add_lookup_table_from_fn)"""
+        return self.add_lookup_table_from_pairs(
+            [(i, fn(i)) for i in inputs])
+
     def add_lookup_from_index(self, looking_in, lut_index: int):
         assert hasattr(self, "luts") and lut_index < len(self.luts), \
             f"lookup table {lut_index} not registered"

@@ -408,8 +408,15 @@ def hash_no_pad_lanes(inputs: GF) -> GF:
     Full rate-8 chunks absorb under ONE lax.scan: a 135-element leaf would
     otherwise inline 17 separate permutation instances into the graph, and
     the per-shape XLA compile of that program is what blew the round-3 bench
-    step caps on chip (~4 min for one Merkle commit program)."""
+    step caps on chip (~4 min for one Merkle commit program).
+
+    On TPU with a kernel-friendly batch the whole absorb runs as ONE fused
+    Pallas kernel with the state resident in VMEM (a 135-element leaf
+    otherwise round-trips the state through HBM 17x)."""
     L, B = inputs.shape
+    from ..ops import pallas_poseidon as pp
+    if pp.should_use_pallas_leaf(L, B):
+        return pp.hash_leaves_lanes_pallas(inputs)
     state = GF.zeros((SPONGE_WIDTH, B))
     n_full, rem = divmod(L, SPONGE_RATE)
     if n_full == 1:

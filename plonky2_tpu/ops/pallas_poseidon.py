@@ -398,6 +398,84 @@ def _permute_fn_soa(batch: int, tile: int, interpret: bool):
     return run if interpret else jax.jit(run)
 
 
+# ---------------------------------------------------------------------------
+# Fused leaf-hash kernel: the ENTIRE sponge absorb runs in VMEM. A 135-element
+# leaf takes 17 permutations; as separate pallas calls the state round-trips
+# HBM 17x (~3.3 KB/leaf of traffic vs ~1.1 KB of leaf data). This kernel
+# reads the leaf block once, keeps the 12-plane state in VMEM across all
+# absorb steps, and writes only the 4-plane digest.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _leaf_hash_fn_pallas(L: int, batch: int, tile: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..hash.poseidon import SPONGE_RATE, SPONGE_WIDTH, NUM_HASH_OUT_ELTS
+
+    t8 = tile // 8
+    b8 = batch // 8
+    grid = (b8 // t8,)
+    in_spec = pl.BlockSpec((L, 8, t8), lambda g: (0, 0, g))
+    out_spec = pl.BlockSpec((NUM_HASH_OUT_ELTS, 8, t8), lambda g: (0, 0, g))
+    tables_np = _round_tables_np()
+    table_specs = [
+        pl.BlockSpec(t.shape, (lambda g, nd=t.ndim: (0,) * nd),
+                     memory_space=pltpu.SMEM)
+        for t in tables_np
+    ]
+    out_shape = [jax.ShapeDtypeStruct((NUM_HASH_OUT_ELTS, 8, b8),
+                                      jnp.uint32)] * 2
+    n_full, rem = divmod(L, SPONGE_RATE)
+
+    def kernel(lo_ref, hi_ref, *rest):
+        table_refs, (out_lo_ref, out_hi_ref) = rest[:-2], rest[-2:]
+        zero = jnp.zeros((8, t8), jnp.uint32)
+        s = [GF(zero, zero) for _ in range(SPONGE_WIDTH)]
+        for k in range(n_full):
+            for i in range(SPONGE_RATE):
+                s[i] = GF(lo_ref[k * SPONGE_RATE + i],
+                          hi_ref[k * SPONGE_RATE + i])
+            s = _permute_soa_looped(s, table_refs)
+        if rem:
+            for i in range(rem):
+                s[i] = GF(lo_ref[n_full * SPONGE_RATE + i],
+                          hi_ref[n_full * SPONGE_RATE + i])
+            s = _permute_soa_looped(s, table_refs)
+        for i in range(NUM_HASH_OUT_ELTS):
+            out_lo_ref[i] = s[i].lo
+            out_hi_ref[i] = s[i].hi
+
+    def run(lo, hi):
+        olo, ohi = pl.pallas_call(
+            kernel, grid=grid, in_specs=[in_spec, in_spec] + table_specs,
+            out_specs=[out_spec, out_spec], out_shape=out_shape,
+            interpret=interpret,
+        )(lo.reshape(L, 8, b8), hi.reshape(L, 8, b8),
+          *[jnp.asarray(t) for t in tables_np])
+        return (olo.reshape(NUM_HASH_OUT_ELTS, batch),
+                ohi.reshape(NUM_HASH_OUT_ELTS, batch))
+
+    return run if interpret else jax.jit(run)
+
+
+def hash_leaves_lanes_pallas(inputs: GF, tile: int | None = None,
+                             interpret: bool = False) -> GF:
+    """inputs [L, B] lanes layout -> digests [4, B]; B % 512 == 0, L > 4."""
+    L, B = inputs.shape
+    t = tile or min(TILE_SOA, B)
+    while B % t:
+        t //= 2
+    lo, hi = _leaf_hash_fn_pallas(L, B, t, interpret)(inputs.lo, inputs.hi)
+    return GF(lo, hi)
+
+
+def should_use_pallas_leaf(L: int, batch: int) -> bool:
+    from ..hash.poseidon import NUM_HASH_OUT_ELTS
+    return should_use_pallas(batch) and batch % 512 == 0 \
+        and L > NUM_HASH_OUT_ELTS \
+        and not os.environ.get("PLONKY2_TPU_NO_PALLAS_LEAF")
+
+
 def permute_lanes_pallas(st: GF, tile: int | None = None,
                          interpret: bool = False) -> GF:
     """st [12, B] -> [12, B]; B % 512 == 0 (SoA) / % 128 (v1)."""

@@ -115,9 +115,89 @@ def main():
                          efficiency=round(base / dt / d, 3))
         report["column_commit"][str(d)] = entry
 
+    report["ici_accounting"] = ici_accounting(poly, rate_bits, counts)
+
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
+
+
+# ---------------------------------------------------------------------------
+# ICI accounting: collective bytes COUNTED from the lowered HLO (not modeled),
+# fed into the SCALING_MODEL.md ring formula to project v5e efficiency.
+# ---------------------------------------------------------------------------
+
+_COLLECTIVES = ("all_to_all", "all_gather", "collective_permute",
+                "all_reduce", "reduce_scatter")
+
+
+def count_collective_bytes(lowered_text: str) -> dict:
+    """Sum operand bytes per collective kind from StableHLO text."""
+    import re
+    out = {}
+    for line in lowered_text.splitlines():
+        for kind in _COLLECTIVES:
+            if f"stablehlo.{kind}" in line or f'"{kind}"' in line:
+                shapes = re.findall(r"tensor<([0-9x]+)x(ui32|i32|u32|f32|"
+                                    r"ui64|i64)>", line)
+                if not shapes:
+                    continue
+                dims, dtype = shapes[0]
+                elems = 1
+                for s in dims.split("x"):
+                    elems *= int(s)
+                width = 8 if "64" in dtype else 4
+                out[kind] = out.get(kind, 0) + elems * width
+                break
+    return out
+
+
+def ici_accounting(poly, rate_bits, counts, r1_el_per_s: float = None):
+    """Per mesh size: lower the four-step sharded LDE, COUNT the collective
+    bytes in the emitted program, and project v5e strong-scaling efficiency
+    with the SCALING_MODEL.md ring model. Assumptions recorded inline."""
+    import jax
+
+    r1 = r1_el_per_s or float(os.environ.get(
+        "PLONKY2_TPU_R1_ELPS", "1.0e9"))   # measured single-chip LDE rate
+    b_link = 45e9                          # v5e ICI per-link one-dir GB/s
+    n = poly.shape[-1] << rate_bits        # output elements
+    acct = {"assumptions": {
+        "r1_local_rate_el_per_s": r1,
+        "r1_source": ("BENCH ntt/lde_batch on-chip measurement; override "
+                      "with PLONKY2_TPU_R1_ELPS"),
+        "v5e_ici_link_bytes_per_s": b_link,
+        "ring_model": ("T_a2a = per_chip_bytes*(D-1)/D*(D/4)/(2*B_link), "
+                       "SCALING_MODEL.md"),
+    }}
+    for d in counts:
+        if d < 2:
+            continue
+        mesh = make_mesh(d, axis="x")
+        lg_n2 = max(6, (d - 1).bit_length() + 1)
+        try:
+            lowered = jax.jit(
+                lambda p: coset_lde_large(p, mesh, rate_bits, lg_n2=lg_n2)
+            ).lower(poly)
+            text = lowered.as_text()
+        except Exception as e:  # noqa: BLE001
+            acct[str(d)] = {"error": str(e)[:120]}
+            continue
+        counted = count_collective_bytes(text)
+        total_coll = sum(counted.values())
+        per_chip = total_coll / d
+        t_a2a = per_chip * (d - 1) / d * (d / 4) / (2 * b_link)
+        t_local = (n / d) / r1
+        eff = t_local / (t_local + t_a2a) if (t_local + t_a2a) else 0.0
+        acct[str(d)] = {
+            "collective_bytes_total": total_coll,
+            "collective_bytes_by_kind": counted,
+            "per_chip_bytes": per_chip,
+            "projected_t_comm_s": round(t_a2a, 6),
+            "projected_t_local_s": round(t_local, 6),
+            "projected_efficiency_v5e": round(eff, 4),
+        }
+    return acct
 
 
 if __name__ == "__main__":

@@ -79,3 +79,40 @@ for name, fn in (("soa_v2", _permute_fn_soa(Bb, 2048, False)),
                  ("v1", _permute_fn(Bb, 512, False))):
     rate = bench(fn)
     print(f"kernel {name}: {rate/1e6:.2f} M permutations/s", flush=True)
+
+# -- fused leaf-hash kernel: bit parity + throughput -------------------------
+from plonky2_tpu.ops.pallas_poseidon import hash_leaves_lanes_pallas
+
+for L in (8, 20, 135):
+    leaves = rng.integers(0, ref.ORDER, size=(L, 1024), dtype=np.uint64)
+    lv = GF.from_u64(leaves)
+    got_lv = np.asarray(hash_leaves_lanes_pallas(lv).to_u64())
+    for j in range(0, 1024, 307):
+        want = ps.hash_or_noop_oracle([int(leaves[i, j]) for i in range(L)])
+        assert [int(got_lv[i, j]) for i in range(4)] == list(want), \
+            f"leaf L={L} lane {j} mismatch"
+    print(f"fused leaf kernel vs oracle (L={L}): OK", flush=True)
+
+Lb = 135
+big_leaves = GF.from_u64(rng.integers(0, ref.ORDER, size=(Lb, 1 << 16),
+                                      dtype=np.uint64))
+
+
+def bench_leaf(iters=10):
+    g = hash_leaves_lanes_pallas(GF(big_leaves.lo ^ np.uint32(255),
+                                    big_leaves.hi))
+    np.asarray(g.lo.ravel()[:1])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        g = hash_leaves_lanes_pallas(GF(big_leaves.lo ^ np.uint32(i + 1),
+                                        big_leaves.hi))
+    np.asarray(g.lo.ravel()[:1])
+    dt = time.perf_counter() - t0 - FLOOR
+    n = (1 << 16) * iters
+    perms = n * ((Lb + 7) // 8)
+    return n / dt, perms / dt
+
+
+leaves_rate, perm_rate = bench_leaf()
+print(f"fused leaf kernel 135x2^16: {leaves_rate/1e6:.2f} M leaves/s "
+      f"({perm_rate/1e6:.2f} M permutations/s)", flush=True)

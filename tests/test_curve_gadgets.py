@@ -106,3 +106,38 @@ def test_curve_scalar_mul_and_glv():
     witness = generate_partial_witness(pw, data.prover_only, data.common)
     expect = p_val.mul(k_val)
     assert _point_value(witness, out) == (expect.x, expect.y)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif("PLONKY2_TPU_HEAVY" not in __import__("os").environ,
+                    reason="full prove of the ECDSA circuit; set "
+                           "PLONKY2_TPU_HEAVY=1")
+def test_ecdsa_verify_message_circuit_proves_e2e():
+    """Full PROVE + verify of in-circuit ECDSA verification — the reference
+    proves this (reference: ecdsa/src/gadgets/ecdsa.rs:57-106
+    test_ecdsa_circuit_narrow builds AND data.prove + data.verify)."""
+    from plonky2_tpu.ecdsa.curve import ECDSASecretKey, sign_message
+    from plonky2_tpu.ecdsa.curve_gadgets import (
+        ECDSAPublicKeyTarget, ECDSASignatureTarget, verify_message_circuit,
+    )
+
+    builder = CircuitBuilder(CircuitConfig.standard_ecc_config())
+    msg_val = rng.randrange(1, native.N)
+    sk = ECDSASecretKey(rng.randrange(1, native.N))
+    pk_val = sk.to_public()
+    sig_val = sign_message(msg_val, sk, k=0xABCDEF0123456789)
+
+    msg = builder.add_virtual_nonnative_target(native.N)
+    r = builder.add_virtual_nonnative_target(native.N)
+    s = builder.add_virtual_nonnative_target(native.N)
+    pk = ECDSAPublicKeyTarget(builder.add_virtual_affine_point_target())
+    verify_message_circuit(builder, msg, ECDSASignatureTarget(r, s), pk)
+    data = builder.build()
+
+    pw = PartialWitness()
+    set_nonnative_target(pw, msg, msg_val)
+    set_nonnative_target(pw, r, sig_val.r)
+    set_nonnative_target(pw, s, sig_val.s)
+    set_affine_point_target(pw, pk.point, pk_val.point)
+    proof = data.prove(pw)
+    data.verify(proof)

@@ -57,3 +57,19 @@ def test_schnorr_verify_circuit_rejects_tampered_sig():
         witness = generate_partial_witness(PartialWitness(),
                                            data.prover_only, data.common)
         _check_all_rows(data, witness)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif("PLONKY2_TPU_HEAVY" not in os.environ,
+                    reason="full prove of the Schnorr circuit; set "
+                           "PLONKY2_TPU_HEAVY=1")
+def test_schnorr_verify_circuit_proves_e2e():
+    """Full PROVE + verify of the in-circuit Schnorr verification —
+    the reference's schnorr gadget test proves end-to-end
+    (reference: ecgfp5/src/gadgets/schnorr.rs:82-105 test)."""
+    msg, pk, sig = _signed_message()
+    builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    schnorr_verify_circuit(builder, msg, pk, sig)
+    data = builder.build()
+    proof = data.prove(PartialWitness())
+    data.verify(proof)

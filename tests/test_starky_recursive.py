@@ -108,3 +108,38 @@ def test_recursive_stark_verifier_with_lookups():
     set_stark_proof_with_pis_target(pw, pt, proof)
     witness = generate_partial_witness(pw, outer.prover_only, outer.common)
     _check_all_rows(outer, witness)
+
+
+@pytest.mark.skipif("PLONKY2_TPU_HEAVY" not in __import__("os").environ,
+                    reason="full outer prove is minutes-scale on the "
+                           "1-core box; set PLONKY2_TPU_HEAVY=1")
+def test_recursive_stark_verifier_proves_e2e():
+    """Full outer PROVE + verify of the recursive STARK verifier circuit —
+    the reference proves this end-to-end
+    (reference: starky/src/recursive_verifier.rs tests
+    test_recursive_stark_verifier)."""
+    num_rows = 1 << 5
+    config = StarkConfig.standard_fast_config()
+    stark = FibonacciStark(num_rows)
+
+    def fib(n, x0, x1):
+        for _ in range(n):
+            x0, x1 = x1, (x0 + x1) % ref.ORDER
+        return x1
+
+    public_inputs = [0, 1, fib(num_rows - 1, 0, 1)]
+    trace = stark.generate_trace(0, 1)
+    proof = prove(stark, config, trace, public_inputs)
+    verify_stark_proof(stark, proof, config)
+
+    builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    pt = add_virtual_stark_proof_with_pis(builder, stark, config, 5)
+    verify_stark_proof_circuit(builder, stark, pt, config, 5)
+    builder.register_public_inputs(pt.public_inputs)
+    outer = builder.build()
+
+    pw = PartialWitness()
+    set_stark_proof_with_pis_target(pw, pt, proof)
+    outer_proof = outer.prove(pw)
+    assert outer_proof.public_inputs[:3] == public_inputs
+    outer.verify(outer_proof)
