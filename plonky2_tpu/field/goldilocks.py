@@ -468,10 +468,13 @@ class GF:
         if pow2 != n:
             # one concat with CONSTANT zeros up front; concats of computed
             # values inside the reduction trigger pathological XLA:CPU
-            # compiles
+            # compiles. jnp (not numpy) zeros: a numpy array would be a
+            # captured array constant inside a Pallas kernel body, which
+            # Mosaic rejects.
             pad_shape = list(x.shape)
             pad_shape[axis] = pow2 - n
-            x = GF.concatenate([x, GF.zeros(tuple(pad_shape))], axis=axis)
+            z = jnp.zeros(tuple(pad_shape), u32)
+            x = GF.concatenate([x, GF(z, z)], axis=axis)
             n = pow2
         lo, hi = x.lo, x.hi
         sl = lambda a, s, e: jax.lax.slice_in_dim(a, s, e, axis=axis)

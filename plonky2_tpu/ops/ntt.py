@@ -64,7 +64,10 @@ def stage_twiddles(lg_n: int, stage: int) -> GF:
 def _butterfly_stages(x: GF, lg_n: int, start_stage: int) -> GF:
     """Radix-2 DIT butterflies (input bit-reversed, output natural order).
 
-    Two formulations, picked by backend:
+    Formulations, picked by backend/shape:
+    - TPU batched + PLONKY2_TPU_NTT_BATCHLANES: batch on the LANE axis —
+      every butterfly is a leading-axis view, twiddles broadcast across
+      lanes, zero lane-crossing ops (the layout the Merkle pipeline uses).
     - TPU: per-stage static reshapes/slices (NO gathers — lane-crossing
       gathers are slow on the VPU; a reshape view makes every butterfly a
       contiguous vector op the compiler tiles onto (8,128) registers).
@@ -72,9 +75,59 @@ def _butterfly_stages(x: GF, lg_n: int, start_stage: int) -> GF:
       in lg_n — per-stage unrolled graphs trigger pathological XLA:CPU
       compile times.
     """
+    import os
     if jax.default_backend() == "tpu":
+        if (x.ndim == 2 and x.shape[0] >= 8
+                and os.environ.get("PLONKY2_TPU_NTT_BATCHLANES")):
+            return _butterfly_stages_batch_lanes(x, lg_n, start_stage)
         return _butterfly_stages_reshaped(x, lg_n, start_stage)
     return _butterfly_stages_scan(x, lg_n, start_stage)
+
+
+def _butterfly_stages_batch_lanes(x: GF, lg_n: int, start_stage: int) -> GF:
+    """Batched butterflies with the batch dim moved to the lane axis:
+    x [B, n] -> work in [n, B] -> [B, n]. Stage views index the LEADING
+    axis (free relayout); each twiddle is one scalar broadcast across the
+    B-wide lane vectors. Radix-4 (two stages per memory pass) like the
+    lane-major path."""
+    B, n = x.shape
+    y = x.transpose(1, 0)                                # [n, B]
+    s = start_stage
+    while s < lg_n:
+        m = 1 << s
+        if s + 1 < lg_n:
+            tw1 = stage_twiddles(lg_n, s)                # [m]
+            tw2 = stage_twiddles(lg_n, s + 1)            # [2m]
+            yr = y.reshape(n // (4 * m), 4, m, B)
+            u0, u1 = yr[:, 0], yr[:, 1]
+            u2, u3 = yr[:, 2], yr[:, 3]
+            t1 = tw1.reshape(1, m, 1).broadcast_to(u1.shape)
+            a0 = u0 + t1 * u1
+            a1 = u0 - t1 * u1
+            a2 = u2 + t1 * u3
+            a3 = u2 - t1 * u3
+            w_lo = tw2[:m].reshape(1, m, 1).broadcast_to(a2.shape)
+            w_hi = tw2[m:].reshape(1, m, 1).broadcast_to(a3.shape)
+            b2 = w_lo * a2
+            b3 = w_hi * a3
+            o0, o2 = a0 + b2, a0 - b2
+            o1, o3 = a1 + b3, a1 - b3
+            lo = jnp.stack([o0.lo, o1.lo, o2.lo, o3.lo], axis=1)
+            hi = jnp.stack([o0.hi, o1.hi, o2.hi, o3.hi], axis=1)
+            y = GF(lo, hi).reshape(n, B)
+            s += 2
+        else:
+            tw = stage_twiddles(lg_n, s)                 # [m]
+            yr = y.reshape(n // (2 * m), 2, m, B)
+            u, v = yr[:, 0], yr[:, 1]
+            t = tw.reshape(1, m, 1).broadcast_to(v.shape) * v
+            a = u + t
+            b = u - t
+            lo = jnp.stack([a.lo, b.lo], axis=1)
+            hi = jnp.stack([a.hi, b.hi], axis=1)
+            y = GF(lo, hi).reshape(n, B)
+            s += 1
+    return y.transpose(1, 0)
 
 
 def _butterfly_stages_reshaped(x: GF, lg_n: int, start_stage: int) -> GF:

@@ -81,6 +81,11 @@ def main():
 
         os.environ["PLONKY2_TPU_NO_MXU_NTT"] = "1"
         t_bfly = chained(ntt.fft, x, iters)
+        t_blanes = None
+        if batch >= 8:
+            os.environ["PLONKY2_TPU_NTT_BATCHLANES"] = "1"
+            t_blanes = chained(ntt.fft, x, iters)
+            del os.environ["PLONKY2_TPU_NTT_BATCHLANES"]
         del os.environ["PLONKY2_TPU_NO_MXU_NTT"]
         t_mxu = chained(ntt_mxu.fft, x, iters)
         t_single = single(ntt.fft, x)
@@ -92,6 +97,8 @@ def main():
             "single_dispatch_latency_ms": round(t_single * 1e3, 3),
             "mxu_faster": bool(t_mxu < t_bfly),
         }
+        if t_blanes is not None:
+            rec["batchlanes_el_per_s"] = round(el / t_blanes, 0)
         results[f"2^{lg_n}x{batch}"] = rec
         if rec["mxu_faster"] and crossover is None:
             crossover = lg_n
