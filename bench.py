@@ -133,6 +133,25 @@ def _floor_s():
     return _FLOOR
 
 
+class InvalidMeasurement(RuntimeError):
+    """Raised when a timing cannot be distinguished from the readback floor.
+    Emitting a number from such a run produced physically impossible values
+    in round 4 (ntt_2^16 at 6.55e13 el/s); refusing is the only honest
+    output (VERDICT r4 weak #2)."""
+
+
+def _net_dt(elapsed: float, iters: int, what: str) -> float:
+    """elapsed wall-time for `iters` iterations -> seconds/iter net of the
+    readback floor; refuses when the measurement is floor-dominated."""
+    floor = _floor_s()
+    if elapsed < max(2.0 * floor, 20e-3):
+        raise InvalidMeasurement(
+            f"{what}: elapsed {elapsed*1e3:.2f} ms for {iters} iters is "
+            f"within 2x the readback floor ({floor*1e3:.2f} ms) — "
+            "increase iters; refusing to emit")
+    return (elapsed - floor) / iters
+
+
 def _bench(fn, warmup=1, iters=5, ready=None):
     """fn(i) runs one perturbed iteration (i varies so the remote runtime
     cannot dedupe identical executions); returns seconds/iteration net of
@@ -147,21 +166,14 @@ def _bench(fn, warmup=1, iters=5, ready=None):
     for i in range(iters):
         out = call(i)
     _sync(out)
-    return max((time.perf_counter() - t0 - _floor_s()) / iters, 1e-9)
+    return _net_dt(time.perf_counter() - t0, iters, "_bench")
 
 
-def _bench_chained(step_fn, x, iters):
-    """Chain `iters` dependent in-graph iterations of step_fn (GF -> GF)
-    inside one jit and sync once: per-dispatch overhead (~3 ms through the
-    tunnel) would otherwise swamp ms-scale kernels. The input is XOR-
-    perturbed per iteration; outputs larger than the input (LDE) are sliced
-    back so the loop carry keeps one shape."""
+def _chained_run_fn(step_fn, x, iters, n_last):
     import jax
     import jax.numpy as jnp
     from jax import lax
     from plonky2_tpu.field.goldilocks import GF
-
-    n_last = x.shape[-1]
 
     @jax.jit
     def run(lo, hi):
@@ -173,19 +185,61 @@ def _bench_chained(step_fn, x, iters):
             return (o.lo, o.hi)
         return lax.fori_loop(0, iters, body, (lo, hi))
 
+    return run
+
+
+def _bench_chained(step_fn, x, iters):
+    """Chain `iters` dependent in-graph iterations of step_fn (GF -> GF)
+    inside one jit and sync once: per-dispatch overhead (~3 ms through the
+    tunnel) would otherwise swamp ms-scale kernels. The input is XOR-
+    perturbed per iteration; outputs larger than the input (LDE) are sliced
+    back so the loop carry keeps one shape. Auto-scales the chain length
+    until the run time dwarfs the readback floor (never emits a
+    floor-clamped number)."""
+    n_last = x.shape[-1]
+    run = _chained_run_fn(step_fn, x, iters, n_last)
+
     _sync(run(x.lo, x.hi)[0])
-    t0 = time.perf_counter()
-    out = run(x.lo, x.hi)
-    _sync(out[0])
-    return max((time.perf_counter() - t0 - _floor_s()) / iters, 1e-9)
+    total_iters = iters
+    for _attempt in range(6):
+        t0 = time.perf_counter()
+        out = run(x.lo, x.hi)
+        _sync(out[0])
+        elapsed = time.perf_counter() - t0
+        if elapsed >= max(8.0 * _floor_s(), 0.1):
+            return _net_dt(elapsed, total_iters, "_bench_chained")
+        # floor-dominated (round-4 ntt_2^16 failure mode): chain more
+        # iterations in-graph until the run time dwarfs the readback floor
+        iters *= 8
+        total_iters = iters
+        run = _chained_run_fn(step_fn, x, iters, n_last)
+        _sync(run(x.lo, x.hi)[0])
+    return _net_dt(elapsed, total_iters, "_bench_chained")
 
 
 _COLLECTED: list = []
 
 
-def emit(metric, value, unit, baseline=None, **extra):
+def emit(metric, value, unit, baseline=None, estimate=None, **extra):
+    """One JSON metric line. `baseline` is reserved for MEASURED, CITED
+    anchors (pass baseline_src naming the source); an uncited anchor goes in
+    `estimate` and is reported as vs_estimate (VERDICT r4 weak #3). Emitting
+    a physically impossible number (roofline fraction > 1, non-finite value)
+    is a hard error on the record, not a value."""
+    frac = extra.get("hbm_roofline_frac")
+    if (not np.isfinite(value)) or value <= 0 or (
+            frac is not None and frac > 1.0):
+        rec = {"metric": metric, "invalid":
+               f"rejected: value={value:.4g} {unit}"
+               + (f", hbm_roofline_frac={frac}" if frac is not None else "")
+               + " — measurement outside physical bounds"}
+        _collect(rec)
+        print(json.dumps(rec), flush=True)
+        return
     rec = {"metric": metric, "value": round(value, 1), "unit": unit,
            "vs_baseline": round(value / baseline, 3) if baseline else None}
+    if estimate:
+        rec["vs_estimate"] = round(value / estimate, 3)
     rec.update(extra)
     _collect(rec)
     print(json.dumps(rec), flush=True)
@@ -236,9 +290,10 @@ def bench_headline():
 
     dt = _bench(commit_full)
     total_elems = num_polys * (n << rate_bits)
-    # reference CPU estimate: 135 * 2^16 LDE elements in ~1.1 s ≈ 8.0e6 el/s
+    # 8.0e6 el/s is an ESTIMATE of the reference CPU commit rate (no measured
+    # Rust run exists on this box) — reported as vs_estimate, not vs_baseline
     emit("poly_batch_commit_135x2^13_rate8", total_elems / dt,
-         "lde_elements_per_s", baseline=8.0e6)
+         "lde_elements_per_s", estimate=8.0e6)
 
 
 def bench_fibonacci_prove():
@@ -291,6 +346,8 @@ def bench_recursion_chain():
     t_prove = time.perf_counter() - t0
     outer.verify(outer_proof)
     emit("recursion_chain", 1.0 / t_prove, "wraps_per_s", baseline=1 / 0.170,
+         baseline_src="plonky2/README.md:5 (~170 ms/recursive wrap, "
+                      "published reference measurement)",
          outer_build_s=round(t_build, 2), wrap_prove_s=round(t_prove, 3),
          outer_degree_bits=outer.common.degree_bits)
 
@@ -320,6 +377,10 @@ def bench_fri_open():
                                         cfg.cap_height)
     batch.merkle_tree.leaves_host()
     t_commit = time.perf_counter() - t0
+    # emit the commit half immediately: if the open half hits the step cap,
+    # the driver still records a number for this config (VERDICT r5 item 3)
+    emit("fri_commit_2^18x16", 1.0 / t_commit, "commits_per_s",
+         commit_s=round(t_commit, 3), blowup=8, polys=num_polys)
 
     instance = FriInstanceInfo(
         oracles=(FriOracleInfo(num_polys=num_polys, blinding=False),),
@@ -467,7 +528,8 @@ def bench_batch_prove():
     proofs = prove_batch(data.prover_only, data.common, batch_in)
     tB = time.perf_counter() - t0
     data.verify(proofs[-1])
-    emit("batch_prove_fib", B / tB, "proofs_per_s", baseline=1.0 / t1,
+    emit("batch_prove_fib", B / tB, "proofs_per_s",
+         vs_single_prove=round((B / tB) * t1, 3),
          batch_size=B, batch_s=round(tB, 3), single_s=round(t1, 3))
 
 
@@ -476,9 +538,9 @@ STEPS = [
     (bench_headline, 600),
     (bench_fibonacci_prove, 900),
     (bench_recursion_chain, 2400),
-    (bench_fri_open, 600),
-    (bench_merkle, 420),
-    (bench_merkle_wide, 420),
+    (bench_fri_open, 900),
+    (bench_merkle, 900),
+    (bench_merkle_wide, 600),
     (bench_lde_batch, 420),
     (bench_ntt_batch, 420),
     (bench_ntt_sweep, 420),

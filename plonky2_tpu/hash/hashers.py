@@ -186,8 +186,8 @@ class Poseidon2Hasher(Hasher):
         from ..field.goldilocks import GF
         return ps2.hash_no_pad(GF.concatenate([x, y], axis=-1))
 
-    hash_or_noop_lanes = None
-    compress_lanes = None
+    hash_or_noop_lanes = staticmethod(ps2.hash_or_noop_lanes)
+    compress_lanes = staticmethod(ps2.compress_lanes)
     permute_dev = staticmethod(ps2.poseidon2_permute)
 
     def hash_leaves_np(self, leaves_u64):

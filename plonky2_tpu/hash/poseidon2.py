@@ -186,3 +186,43 @@ def hash_no_pad(inputs: GF) -> GF:
         state = GF.concatenate([chunk, state[..., chunk.shape[-1]:]], axis=-1)
         state = poseidon2_permute(state)
     return state[..., :NUM_HASH_OUT_ELTS]
+
+
+# ---------------------------------------------------------------------------
+# Lanes layout ([L, B] / [12, B]) — the Merkle/commit pipeline's layout.
+# On TPU with a kernel-friendly batch these dispatch to the fused Pallas
+# kernels (ops/pallas_poseidon2.py, the AVX2-Poseidon2 analog); otherwise
+# they fall back to the batched [..., 12] path via a transpose.
+# ---------------------------------------------------------------------------
+
+def permute_lanes2(st: GF) -> GF:
+    """st [12, B] -> [12, B]."""
+    from ..ops import pallas_poseidon2 as pp2
+    if pp2.should_use_pallas2(st.shape[-1]):
+        return pp2.permute2_lanes_pallas(st)
+    return poseidon2_permute(st.transpose(1, 0)).transpose(1, 0)
+
+
+def hash_no_pad_lanes(inputs: GF) -> GF:
+    """inputs [L, B] -> digests [4, B]."""
+    L, B = inputs.shape
+    from ..ops import pallas_poseidon2 as pp2
+    if pp2.should_use_pallas2_leaf(L, B):
+        return pp2.hash2_leaves_lanes_pallas(inputs)
+    return hash_no_pad(inputs.transpose(1, 0)).transpose(1, 0)
+
+
+def hash_or_noop_lanes(inputs: GF) -> GF:
+    L, B = inputs.shape
+    if L <= NUM_HASH_OUT_ELTS:
+        return GF.concatenate(
+            [inputs, GF.zeros((NUM_HASH_OUT_ELTS - L, B))], axis=0)
+    return hash_no_pad_lanes(inputs)
+
+
+def compress_lanes(x: GF, y: GF) -> GF:
+    """Two-to-one in lanes layout: [4, B] x [4, B] -> [4, B]."""
+    B = x.shape[-1]
+    cap = GF.zeros((SPONGE_WIDTH - 2 * NUM_HASH_OUT_ELTS, B))
+    state = GF.concatenate([x, y, cap], axis=0)
+    return permute_lanes2(state)[:NUM_HASH_OUT_ELTS]

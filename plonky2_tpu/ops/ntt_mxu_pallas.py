@@ -146,10 +146,19 @@ def stage_matmul_pallas(x3: GF, band_np: np.ndarray, bias_total: int,
     is). Falls back to caller's XLA path when shapes don't tile."""
     F, K, G = x3.shape
     R = band_np.shape[-1]
-    rc = min(128, R)
+    # R < 128 makes rc < 128, so the [Gc, 17*rc] dot output's minor axis is
+    # not lane-aligned — Mosaic MISCOMPILES that tiling (measured on chip,
+    # round 5: coset_fft[2048] (R=64) returned 474/2048 wrong values, every
+    # error a multiple of 2^16, while R=128/256 shapes were bit-exact; this
+    # was the root cause of the r4 recursion-chain "final polynomial
+    # evaluation invalid"). Fall back to the XLA MXU path — bit-exact at all
+    # shapes and faster than the kernel at these small sizes anyway.
+    if R % 128:
+        return None
+    rc = 128
     FG = F * G
     gc = min(gc, FG)
-    if FG % gc or R % rc:
+    if FG % gc:
         return None
     # kernel wants columns = free index: [K, F*G]
     lo = x3.lo.transpose(1, 0, 2).reshape(K, FG)

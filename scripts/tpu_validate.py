@@ -116,3 +116,38 @@ def bench_leaf(iters=10):
 leaves_rate, perm_rate = bench_leaf()
 print(f"fused leaf kernel 135x2^16: {leaves_rate/1e6:.2f} M leaves/s "
       f"({perm_rate/1e6:.2f} M permutations/s)", flush=True)
+
+# -- Poseidon2 Pallas kernels: bit parity on chip ----------------------------
+from plonky2_tpu.hash import poseidon2 as ps2
+from plonky2_tpu.ops.pallas_poseidon2 import (
+    hash2_leaves_lanes_pallas, permute2_lanes_pallas,
+)
+
+state2 = rng.integers(0, ref.ORDER, size=(12, 1024), dtype=np.uint64)
+got2 = np.asarray(permute2_lanes_pallas(GF.from_u64(state2)).to_u64())
+for j in range(0, 1024, 211):
+    want = ps2.poseidon2_oracle([int(state2[i, j]) for i in range(12)])
+    assert [int(got2[i, j]) for i in range(12)] == want, f"p2 lane {j}"
+print("pallas Poseidon2 kernel vs oracle: OK (1024 lanes)", flush=True)
+
+for L in (8, 135):
+    leaves2 = rng.integers(0, ref.ORDER, size=(L, 1024), dtype=np.uint64)
+    got_l2 = np.asarray(
+        hash2_leaves_lanes_pallas(GF.from_u64(leaves2)).to_u64())
+    for j in range(0, 1024, 307):
+        want = ps2.hash_no_pad_oracle([int(leaves2[i, j]) for i in range(L)])
+        assert [int(got_l2[i, j]) for i in range(4)] == list(want), \
+            f"p2 leaf L={L} lane {j}"
+    print(f"fused Poseidon2 leaf kernel vs oracle (L={L}): OK", flush=True)
+
+# -- MXU/Pallas NTT parity at the recursive-wrap prover shapes ---------------
+# (r4 lesson: the Poseidon-only validation missed a Mosaic miscompile in the
+# NTT kernel at R<128 that invalidated the flagship recursion chain. This
+# runs every round now.)
+import subprocess
+rc = subprocess.run(
+    [sys.executable,
+     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                  "r5_fold_parity.py")])
+assert rc.returncode == 0, "NTT/fold parity hunt FAILED"
+print("NTT/fold parity (recursive-wrap shapes): OK", flush=True)

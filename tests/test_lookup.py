@@ -91,8 +91,12 @@ def test_many_lookups():
 
 def test_same_luts():
     """The same table registered twice gets independent indices (reference:
-    lookup_test.rs test_same_luts:371-425)."""
-    table = [(i, (i * 97 + 31) % 256) for i in range(256)]
+    lookup_test.rs test_same_luts:371-425).
+
+    Values are kept < 128 so `sum = t[1] + t[2]` stays inside the 0..255
+    input domain of the second lookup (the reference's TIP5 values at 1, 2
+    likewise sum in-domain)."""
+    table = [(i, (i * 97 + 31) % 128) for i in range(256)]
     t_fn = dict(table)
     builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
     a = builder.add_virtual_target()
@@ -113,6 +117,24 @@ def test_same_luts():
     sum_val = t_fn[1] + t_fn[2]
     assert _witness_pis(data, pw) == [
         1, 2, sum_val, t_fn[1], t_fn[2], t_fn[sum_val]]
+
+
+def test_out_of_domain_input_fails_loudly():
+    """An input outside the table domain must abort witness generation
+    (the fork's lookups are generator-only — no logUp constraint exists to
+    reject it at verify time, so silent defaulting would be unsound)."""
+    table = [(i, (i * 97 + 31) % 256) for i in range(256)]
+    builder = CircuitBuilder(CircuitConfig.standard_recursion_config())
+    a = builder.add_virtual_target()
+    idx = builder.add_lookup_table_from_pairs(table)
+    out = builder.add_lookup_from_index(a, idx)
+    for t in (a, out):
+        builder.register_public_input(t)
+    data = builder.build()
+    pw = PartialWitness()
+    pw.set_target(a, 256)          # domain is 0..255
+    with pytest.raises(ValueError, match="outside the table domain"):
+        generate_partial_witness(pw, data.prover_only, data.common)
 
 
 def test_different_inputs():
