@@ -226,12 +226,13 @@ def emit(metric, value, unit, baseline=None, estimate=None, **extra):
     `estimate` and is reported as vs_estimate (VERDICT r4 weak #3). Emitting
     a physically impossible number (roofline fraction > 1, non-finite value)
     is a hard error on the record, not a value."""
-    frac = extra.get("hbm_roofline_frac")
-    if (not np.isfinite(value)) or value <= 0 or (
-            frac is not None and frac > 1.0):
+    fracs = {k: extra.get(k) for k in ("hbm_roofline_frac", "mxu_util_frac")
+             if extra.get(k) is not None}
+    if (not np.isfinite(value)) or value <= 0 or any(
+            f > 1.0 for f in fracs.values()):
         rec = {"metric": metric, "invalid":
                f"rejected: value={value:.4g} {unit}"
-               + (f", hbm_roofline_frac={frac}" if frac is not None else "")
+               + "".join(f", {k}={v}" for k, v in fracs.items())
                + " — measurement outside physical bounds"}
         _collect(rec)
         print(json.dumps(rec), flush=True)
@@ -444,6 +445,23 @@ def _batched_coeffs(num_polys, lg_n, seed):
         0, ORDER, size=(num_polys, 1 << lg_n), dtype=np.uint64))
 
 
+MXU_INT8_MACS = 394e12 / 2   # v5e peak: 394 TOPS int8 = 197e12 MAC/s
+
+
+def _mxu_macs(lg_out: int, rate_bits: int, batch: int) -> int:
+    """Exact MAC count of the int8 limb-matmul NTT at this shape: stage s is
+    a [batch*N/R_s, 9*K_s] x [9*K_s, 17*R_s] int8 matmul, so
+    MACs = 153 * batch * N * sum_s K_s (the governing MXU ceiling for the
+    limb path — the roofline the VERDICT r4 audit asked for. The block-band
+    zero half is COUNTED: it occupies MXU cycles even though only ~9/17 of
+    each band column is nonzero)."""
+    from plonky2_tpu.ops.ntt_mxu import _digits_for
+    digits = _digits_for(lg_out, rate_bits)
+    n = 1 << lg_out
+    k_sum = ((1 << digits[0]) >> rate_bits) + sum(1 << d for d in digits[1:])
+    return 153 * batch * n * k_sum
+
+
 def bench_ntt_batch():
     """The prover's actual NTT shape: [135, 2^k] batched on the last axis."""
     from plonky2_tpu.ops import ntt
@@ -453,9 +471,11 @@ def bench_ntt_batch():
         dt = _bench_chained(ntt.fft, x, iters)
         n_total = 135 * (1 << lg_n)
         gbps = n_total * 32 / dt   # >= 1 read + 1 write of 16 B/elem
+        macs = _mxu_macs(lg_n, 0, 135)
         emit(f"ntt_batch_135x2^{lg_n}", n_total / dt, "elements_per_s",
              achieved_gbps_lower_bound=round(gbps / 1e9, 1),
-             hbm_roofline_frac=round(gbps / HBM_GBPS, 3))
+             hbm_roofline_frac=round(gbps / HBM_GBPS, 3),
+             mxu_util_frac=round(macs / dt / MXU_INT8_MACS, 3))
 
 
 def bench_lde_batch():
@@ -466,10 +486,12 @@ def bench_lde_batch():
         dt = _bench_chained(lambda c: ntt.coset_lde(c, 3), x, iters)
         n_out = 135 * (1 << (lg_n + 3))
         gbps = n_out * 32 / dt
+        macs = _mxu_macs(lg_n + 3, 3, 135)
         emit(f"lde_batch_135x2^{lg_n}_rate8", n_out / dt,
              "lde_elements_per_s",
              achieved_gbps_lower_bound=round(gbps / 1e9, 1),
-             hbm_roofline_frac=round(gbps / HBM_GBPS, 3))
+             hbm_roofline_frac=round(gbps / HBM_GBPS, 3),
+             mxu_util_frac=round(macs / dt / MXU_INT8_MACS, 3))
 
 
 def bench_ntt_sweep():

@@ -82,36 +82,40 @@ def main():
                        "bit-exactness validation per mesh size instead"),
               "four_step_lde": {}, "column_commit": {}}
 
+    # Wall-clock per mesh size is reported ONLY on a real device mesh:
+    # virtual XLA:CPU devices on one core measure scheduler contention, not
+    # scaling, and noise numbers in an evidence file are worse than none
+    # (VERDICT r4 weak #6). CPU mode records bit-exactness per mesh size; the
+    # quantitative scaling story is the counted-collective-bytes accounting
+    # below + the SCALING_MODEL.md ring-model projections.
     base = None
     for d in counts:
         mesh = make_mesh(d, axis="x")
         lg_n2 = max(6, (d - 1).bit_length() + 1 if d > 1 else 6)
-        dt = bench(lambda: coset_lde_large(poly, mesh, rate_bits,
-                                           lg_n2=lg_n2),
-                   ready=lambda o: o.lo)
         got = np.asarray(coset_lde_large(poly, mesh, rate_bits,
                                          lg_n2=lg_n2).to_u64())
-        base = base or dt
-        entry = {"seconds": round(dt, 5),
-                 "matches_single_device": bool(np.array_equal(got, want_lde))}
+        entry = {"matches_single_device": bool(np.array_equal(got, want_lde))}
         if real_mesh:
-            entry.update(speedup=round(base / dt, 3),
+            dt = bench(lambda: coset_lde_large(poly, mesh, rate_bits,
+                                               lg_n2=lg_n2),
+                       ready=lambda o: o.lo)
+            base = base or dt
+            entry.update(seconds=round(dt, 5), speedup=round(base / dt, 3),
                          efficiency=round(base / dt / d, 3))
         report["four_step_lde"][str(d)] = entry
 
     base = None
     for d in counts:
         mesh = make_mesh(d, axis="col")
-        dt = bench(lambda: commit_sharded(mesh, coeffs, rate_bits, 2),
-                   ready=lambda o: o[1][-1].lo)
         _, layers = commit_sharded(mesh, coeffs, rate_bits, 2)
         got_cap = np.asarray(layers[-1].to_u64())
-        base = base or dt
-        entry = {"seconds": round(dt, 5),
-                 "matches_single_device": bool(np.array_equal(got_cap,
+        entry = {"matches_single_device": bool(np.array_equal(got_cap,
                                                               want_cap))}
         if real_mesh:
-            entry.update(speedup=round(base / dt, 3),
+            dt = bench(lambda: commit_sharded(mesh, coeffs, rate_bits, 2),
+                       ready=lambda o: o[1][-1].lo)
+            base = base or dt
+            entry.update(seconds=round(dt, 5), speedup=round(base / dt, 3),
                          efficiency=round(base / dt / d, 3))
         report["column_commit"][str(d)] = entry
 

@@ -13,7 +13,8 @@ os.environ.setdefault("PLONKY2_TPU_TIMING", "1")
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/plonky2_tpu_jax_cache")
+from bench import _cache_dir
+jax.config.update("jax_compilation_cache_dir", _cache_dir("tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -12,7 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/plonky2_tpu_jax_cache")
+from bench import _cache_dir
+jax.config.update("jax_compilation_cache_dir", _cache_dir("tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert jax.default_backend() == "tpu", "run this on the TPU box"

@@ -3,6 +3,9 @@ scripts/tpu_validate.py). Mirrors tests/test_pallas_poseidon.py for the
 Poseidon2 kernels (VERDICT r4 missing #4 — the AVX2-Poseidon2 analog,
 reference hash/arch/x86_64/poseidon2_goldilocks_avx2.rs)."""
 
+import os
+
+import jax
 import numpy as np
 import pytest
 
@@ -10,12 +13,22 @@ from plonky2_tpu.field import reference as ref
 from plonky2_tpu.field.goldilocks import GF
 from plonky2_tpu.hash import poseidon2 as ps2
 
+# interpret-mode Pallas on this 1-core box is tens of minutes of per-op
+# dispatch (same gate as test_pallas_poseidon.py); the chip runs the same
+# checks every round via scripts/tpu_validate.py
+_heavy = pytest.mark.skipif(
+    "PLONKY2_TPU_HEAVY" not in os.environ
+    and jax.default_backend() != "tpu",
+    reason="interpret-mode Pallas is minutes-scale per kernel on this box; "
+           "validated on chip by scripts/tpu_validate.py")
+
 
 @pytest.fixture(scope="module")
 def rng():
     return np.random.default_rng(7)
 
 
+@_heavy
 def test_permute2_kernel_vs_oracle(rng):
     from plonky2_tpu.ops.pallas_poseidon2 import _permute2_fn_soa
     B = 512
@@ -28,6 +41,7 @@ def test_permute2_kernel_vs_oracle(rng):
         assert [int(got[i, j]) for i in range(12)] == want, f"lane {j}"
 
 
+@_heavy
 def test_leaf2_kernel_vs_oracle(rng):
     from plonky2_tpu.ops.pallas_poseidon2 import hash2_leaves_lanes_pallas
     for L in (8, 11, 135):
