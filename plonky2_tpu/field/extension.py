@@ -60,7 +60,14 @@ class GF2:
         return GF2(GF.const(c0, shape), GF.const(c1, shape))
 
     def to_u64_pair(self):
-        return self.c0.to_u64(), self.c1.to_u64()
+        import jax
+        l0, h0, l1, h1 = jax.device_get(
+            (self.c0.lo, self.c0.hi, self.c1.lo, self.c1.hi))
+        u64 = np.uint64
+        return (np.asarray(l0).astype(u64)
+                | (np.asarray(h0).astype(u64) << u64(32)),
+                np.asarray(l1).astype(u64)
+                | (np.asarray(h1).astype(u64) << u64(32)))
 
     # -- shape plumbing --------------------------------------------------------
     @property

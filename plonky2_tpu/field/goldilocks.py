@@ -365,10 +365,13 @@ class GF:
                   np.full(shape, np.uint32(value >> 32), np.uint32))
 
     def to_u64(self) -> np.ndarray:
-        """Host-side read-back as numpy uint64."""
-        lo = np.asarray(jax.device_get(self.lo)).astype(np.uint64)
-        hi = np.asarray(jax.device_get(self.hi)).astype(np.uint64)
-        return lo | (hi << np.uint64(32))
+        """Host-side read-back as numpy uint64. ONE device_get for both limb
+        planes: through the axon tunnel every separate readback costs a
+        ~30 ms round trip (measured r5), and the warm prover is round-trip
+        bound, not compute bound."""
+        lo, hi = jax.device_get((self.lo, self.hi))
+        return np.asarray(lo).astype(np.uint64) \
+            | (np.asarray(hi).astype(np.uint64) << np.uint64(32))
 
     # -- shape plumbing ------------------------------------------------------
     @property

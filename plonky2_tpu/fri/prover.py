@@ -27,6 +27,7 @@ from ..iop.challenger import Challenger
 from ..ops import ntt
 from ..ops.polynomial import horner_fold
 from ..utils.bits import log2_strict, reverse_index_bits_perm
+from ..utils.devcache import dev_const
 from .config import FriParams
 from .proof import FriProof, FriQueryRound, FriQueryStep, FriInitialTreeProof
 
@@ -49,7 +50,7 @@ def _brv_leaves_fn(n: int, arity: int):
     rev = reverse_index_bits_perm(n)
 
     def f(values: GF2):
-        brv = values.take(jnp.asarray(rev), axis=-1)
+        brv = values.take(dev_const(rev), axis=-1)
         return _flatten_ext_leaves(brv, arity)
 
     return jax.jit(f)
@@ -168,7 +169,7 @@ def fri_proof_of_work(challenger: Challenger, pow_bits: int,
         while True:
             cands = start + np.arange(batch, dtype=np.uint64)
             c = GF.from_u64(cands)
-            idx, found = wave_fn(gf_state, pos, c.lo, c.hi)
+            idx, found = jax.device_get(wave_fn(gf_state, pos, c.lo, c.hi))
             if bool(found):
                 witness = start + int(idx)
                 break
@@ -233,23 +234,82 @@ def _pow_grind_host(hasher, state: list[int], witness_pos: int,
 # Query phase (host gathers)
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=None)
+def _query_gather_all_fn(key: tuple):
+    """ONE jitted program gathering every tree's query rows AND sibling
+    paths, so the whole query phase costs one dispatch + one readback
+    instead of 2 round trips per tree (~12 x ~30 ms through the axon
+    tunnel — the dominant term of the warm FRI phase, measured r5).
+    key = per-tree (depth,) tuple (shapes are carried by the args)."""
+    def f(data, idx_list):
+        outs = []
+        for (leaves, layers), idxs, depth in zip(data, idx_list, key):
+            rows = leaves.take(idxs, axis=0)
+            if depth:
+                sibs = [layers[lvl].take((idxs >> lvl) ^ 1, axis=0)
+                        for lvl in range(depth)]
+                path = GF.stack(sibs, axis=1)
+            else:
+                path = GF.zeros((idxs.shape[0], 0, 4))
+            outs.append((rows, path))
+        return outs
+
+    return jax.jit(f)
+
+
+def _gather_queries_fused(all_trees, all_idxs):
+    """[(rows_u64, paths_u64)] per tree via the single fused program; None
+    when any tree is host-resident (CPU fallback keeps the per-tree path)."""
+    data, key = [], []
+    for t in all_trees:
+        if t.layers is None or hasattr(t, "_layers_np") \
+                or isinstance(t.leaves.lo, np.ndarray):
+            return None
+        depth = t.lg_n - t.cap_height
+        data.append((t.leaves, tuple(t.layers[:depth])))
+        key.append(depth)
+    idx_list = [jnp.asarray(np.asarray(ix, dtype=np.int32))
+                for ix in all_idxs]
+    outs = _query_gather_all_fn(tuple(key))(tuple(data), tuple(idx_list))
+    outs_np = jax.device_get(outs)          # ONE transfer for everything
+
+    def u64(g):
+        return np.asarray(g.lo).astype(np.uint64) \
+            | (np.asarray(g.hi).astype(np.uint64) << np.uint64(32))
+
+    return [(u64(rows), u64(path)) for rows, path in outs_np]
+
+
 def fri_prover_query_rounds(initial_merkle_trees, trees, challenger: Challenger,
                             n: int, fri_params: FriParams):
-    """All query rounds via BATCHED per-tree gathers: one jitted gather + one
-    readback per tree for rows and one for sibling paths, instead of pulling
-    every tree's full leaf/digest buffers to the host per round (28 rounds x
-    4 oracles of MB-scale readbacks through the tunnel)."""
+    """All query rounds via ONE fused device gather + ONE readback across
+    every tree (rows and sibling paths together); per-tree batched gathers
+    remain as the host-tree fallback."""
     indices = [c % n for c in
                challenger.get_n_challenges(fri_params.config.num_query_rounds)]
     k = len(indices)
-    init_rows = [t.rows_batch(indices) for t in initial_merkle_trees]
-    init_paths = [t.prove_batch(indices) for t in initial_merkle_trees]
+    all_idxs = [indices] * len(initial_merkle_trees)
     cur = np.asarray(indices, dtype=np.int64)
-    step_rows, step_paths = [], []
-    for i, tree in enumerate(trees):
+    for i in range(len(trees)):
         cur = cur >> fri_params.reduction_arity_bits[i]
-        step_rows.append(tree.rows_batch(cur))
-        step_paths.append(tree.prove_batch(cur))
+        all_idxs.append(cur)
+    fused = _gather_queries_fused(list(initial_merkle_trees) + list(trees),
+                                  all_idxs)
+    if fused is not None:
+        ni = len(initial_merkle_trees)
+        init_rows = [fused[t][0] for t in range(ni)]
+        init_paths = [fused[t][1] for t in range(ni)]
+        step_rows = [fused[ni + i][0] for i in range(len(trees))]
+        step_paths = [fused[ni + i][1] for i in range(len(trees))]
+    else:
+        init_rows = [t.rows_batch(indices) for t in initial_merkle_trees]
+        init_paths = [t.prove_batch(indices) for t in initial_merkle_trees]
+        step_rows = [trees[i].rows_batch(all_idxs[len(initial_merkle_trees)
+                                                  + i])
+                     for i in range(len(trees))]
+        step_paths = [trees[i].prove_batch(all_idxs[len(initial_merkle_trees)
+                                                    + i])
+                      for i in range(len(trees))]
     rounds = []
     for q in range(k):
         initial = [(init_rows[t][q], init_paths[t][q])

@@ -23,6 +23,7 @@ from ..field import reference as ref
 from ..field.goldilocks import GF, gf_powers
 from ..field.extension import GF2
 from ..utils.bits import log2_strict, reverse_index_bits_perm, ifft_reverse_perm
+from ..utils.devcache import dev_const
 
 MULTIPLICATIVE_GROUP_GENERATOR = 7  # default coset shift
 
@@ -56,9 +57,16 @@ def _half_twiddles(lg_n: int):
 def stage_twiddles(lg_n: int, stage: int) -> GF:
     """Twiddles for butterfly stage `stage` (block size m = 2^{stage+1}):
     w_m^j for j in 0..m/2. Strided view of the half table."""
+    lo, hi = _stage_twiddles_np(lg_n, stage)
+    return GF(dev_const(lo), dev_const(hi))
+
+
+@lru_cache(maxsize=None)
+def _stage_twiddles_np(lg_n: int, stage: int):
     lo, hi = _half_twiddles(lg_n)
     stride = 1 << (lg_n - 1 - stage)
-    return GF(jnp.asarray(lo[::stride]), jnp.asarray(hi[::stride]))
+    return (np.ascontiguousarray(lo[::stride]),
+            np.ascontiguousarray(hi[::stride]))
 
 
 def _butterfly_stages(x: GF, lg_n: int, start_stage: int) -> GF:
@@ -183,8 +191,8 @@ def _butterfly_stages_scan(x: GF, lg_n: int, start_stage: int) -> GF:
         return x
     from .. import field  # noqa: F401  (keep import order stable)
     half_lo, half_hi = _half_twiddles(lg_n)
-    tw_lo = jnp.asarray(half_lo)
-    tw_hi = jnp.asarray(half_hi)
+    tw_lo = dev_const(half_lo)
+    tw_hi = dev_const(half_hi)
     i_arr = jnp.arange(n, dtype=jnp.uint32)
     stages = np.arange(start_stage, lg_n, dtype=np.uint32)
     bs = (np.uint32(1) << stages)               # butterfly distance 2^s
@@ -218,7 +226,7 @@ def fft(coeffs: GF) -> GF:
     if _use_mxu(lg_n):
         from . import ntt_mxu
         return ntt_mxu.fft(coeffs)
-    x = coeffs.take(jnp.asarray(reverse_index_bits_perm(n)), axis=-1)
+    x = coeffs.take(dev_const(reverse_index_bits_perm(n)), axis=-1)
     return _butterfly_stages(x, lg_n, 0)
 
 
@@ -229,7 +237,7 @@ def ifft(values: GF) -> GF:
         from . import ntt_mxu
         return ntt_mxu.ifft(values)
     buf = fft(values)
-    buf = buf.take(jnp.asarray(ifft_reverse_perm(n)), axis=-1)
+    buf = buf.take(dev_const(ifft_reverse_perm(n)), axis=-1)
     n_inv = GF.const(ref.inverse_2exp(lg_n))
     return buf * n_inv.broadcast_to(buf.shape)
 
@@ -263,7 +271,7 @@ def _shift_powers_np(shift: int, n: int):
 
 def _shift_powers(shift: int, n: int) -> GF:
     lo, hi = _shift_powers_np(shift, n)
-    return GF(jnp.asarray(lo), jnp.asarray(hi))
+    return GF(dev_const(lo), dev_const(hi))
 
 
 def lde_fft(coeffs: GF, rate_bits: int,
@@ -282,7 +290,7 @@ def lde_fft(coeffs: GF, rate_bits: int,
         sp = _shift_powers(shift, n_small)
         coeffs = coeffs * sp.broadcast_to(coeffs.shape)
     # bit-reverse the small array, then broadcast each entry 2^rate_bits times
-    x = coeffs.take(jnp.asarray(reverse_index_bits_perm(n_small)), axis=-1)
+    x = coeffs.take(dev_const(reverse_index_bits_perm(n_small)), axis=-1)
     if rate_bits > 0:
         rep = 1 << rate_bits
         x = GF(jnp.repeat(x.lo, rep, axis=-1), jnp.repeat(x.hi, rep, axis=-1))

@@ -51,6 +51,7 @@ from ..field.goldilocks import (
     GF, ORDER, _reduce128, sub as gf_sub, u32,
 )
 from ..utils.bits import log2_strict
+from ..utils.devcache import dev_const
 
 MAX_LG_RADIX = 8      # 256-point base DFTs: K=256 keeps |S_d| < 2^26 (exact)
 MIN_LG_MXU = 8        # below this, the butterfly path wins (latency-bound)
@@ -257,7 +258,7 @@ def _stage_matmul(x3: GF, band_np, bias_total: int) -> GF:
         out = nmp.stage_matmul_pallas(x3, band_np, bias_total)
         if out is not None:
             return out
-    band = jnp.asarray(band_np)                    # s8 [9, K, 17, R]
+    band = dev_const(band_np)                      # s8 [9, K, 17, R]
     R = band.shape[-1]
 
     def one(xc: GF) -> GF:
@@ -311,7 +312,7 @@ def _core(x: GF, lg_N: int, lg_in: int, c: int, e: int, s: int,
         g = g3.reshape(*pre[:nb], *pre[nb + 1:], R)  # [batch.., rest.., R]
         for t, (tlo, thi) in info["factors"]:
             # factor[k, d_t]: k = last axis; d_t sits at nb + (t - st - 1)
-            tab = GF(jnp.asarray(tlo), jnp.asarray(thi))
+            tab = GF(dev_const(tlo), dev_const(thi))
             bshape = [1] * g.ndim
             bshape[nb + (t - st - 1)] = tab.shape[1]
             bshape[-1] = tab.shape[0]

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..field.goldilocks import GF, _reduce128, sub as gf_sub, u32
+from ..utils.devcache import dev_const
 
 NUM_LIMBS = 9
 NUM_DIAGS = 17
@@ -163,7 +164,7 @@ def stage_matmul_pallas(x3: GF, band_np: np.ndarray, bias_total: int,
     # kernel wants columns = free index: [K, F*G]
     lo = x3.lo.transpose(1, 0, 2).reshape(K, FG)
     hi = x3.hi.transpose(1, 0, 2).reshape(K, FG)
-    band2d = jnp.asarray(_prepare_band(band_np, rc))
+    band2d = dev_const(_prepare_band(band_np, rc))
     olo, ohi = _level_fn(K, FG, R, gc, rc, bias_total, interpret)(
         lo, hi, band2d)
     return GF(olo.reshape(F, G, R), ohi.reshape(F, G, R))

@@ -71,8 +71,7 @@ def prove(prover_data: ProverOnlyData, common: CommonCircuitData,
 
     # ROUND 2: permutation partial products + Z
     with timing.scope('compute partial products'):
-        sigmas_gf = GF.from_u64(prover_data.sigmas)
-        subgroup_gf = GF.from_u64(prover_data.subgroup)
+        sigmas_gf, subgroup_gf = _prover_device_constants(prover_data)
         zs_rows, pp_rows = [], []
         pp_fn = _partial_products_fn(config.num_routed_wires, common.degree,
                                      common.quotient_degree_factor,
@@ -112,18 +111,20 @@ def prove(prover_data: ProverOnlyData, common: CommonCircuitData,
         zeta, ref.primitive_root_of_unity(common.degree_bits))
 
     with timing.scope('openings at zeta'):
-        cs_eval = _eval_polys_ext(prover_data.constants_sigmas_commitment,
-                                  zeta)
-        zs_pp_eval = _eval_polys_ext(zs_pp_commitment, zeta)
-        zs_pp_next_eval = _eval_polys_ext(zs_pp_commitment, zeta_next)
+        cs_eval, wires_eval, zs_pp_eval, q_eval, zs_pp_next_eval = \
+            _eval_openings_fused(
+                prover_data.constants_sigmas_commitment.polynomials,
+                wires_commitment.polynomials,
+                zs_pp_commitment.polynomials,
+                quotient_commitment.polynomials, zeta, zeta_next)
     openings = OpeningSet(
         constants=[cs_eval[j] for j in common.constants_range],
         plonk_sigmas=[cs_eval[j] for j in common.sigmas_range],
-        wires=_eval_polys_ext(wires_commitment, zeta),
+        wires=wires_eval,
         plonk_zs=[zs_pp_eval[j] for j in common.zs_range],
         plonk_zs_next=[zs_pp_next_eval[j] for j in common.zs_range],
         partial_products=[zs_pp_eval[j] for j in common.partial_products_range],
-        quotient_polys=_eval_polys_ext(quotient_commitment, zeta),
+        quotient_polys=q_eval,
     )
     observe_openings(challenger, openings.to_fri_openings())
 
@@ -149,6 +150,21 @@ def _cap_list(commitment) -> list:
     return commitment.merkle_tree.cap_digests()
 
 
+def _prover_device_constants(prover_data):
+    """Device-resident copies of the per-circuit prover constants, uploaded
+    once and memoized on the ProverOnlyData: re-creating them from numpy on
+    every prove re-ships ~MBs through the tunnel per proof."""
+    cached = getattr(prover_data, "_device_constants", None)
+    if cached is None:
+        import jax.numpy as _jnp
+        s = GF.from_u64(prover_data.sigmas)
+        g = GF.from_u64(prover_data.subgroup)
+        cached = (GF(_jnp.asarray(s.lo), _jnp.asarray(s.hi)),
+                  GF(_jnp.asarray(g.lo), _jnp.asarray(g.hi)))
+        prover_data._device_constants = cached
+    return cached
+
+
 # ---------------------------------------------------------------------------
 # Round 4: batched polynomial evaluation at an extension point
 # ---------------------------------------------------------------------------
@@ -171,6 +187,45 @@ def _eval_polys_ext(commitment, z) -> list:
     num, n = coeffs.shape
     c0, c1 = _eval_polys_jit(num, n)(coeffs, GF2.const(*z))
     return [(int(a), int(b)) for a, b in zip(c0.to_u64(), c1.to_u64())]
+
+
+@lru_cache(maxsize=None)
+def _eval_openings_jit(nums: tuple, n: int):
+    """ALL oracle evals for the opening set in ONE program and ONE stacked
+    output: the old route (5 separate eval programs, each with its own
+    readback) cost ~10 tunnel round trips ~= 280 ms of the warm prove."""
+    def f(cs: GF, wires: GF, zs_pp: GF, quot: GF, z: GF2, zn: GF2):
+        all_c = GF.concatenate([cs, wires, zs_pp, quot], axis=0)
+        zp = gf2_powers(z, n)
+        c0 = (all_c * zp.c0.reshape(1, n).broadcast_to(all_c.shape)).sum(-1)
+        c1 = (all_c * zp.c1.reshape(1, n).broadcast_to(all_c.shape)).sum(-1)
+        znp = gf2_powers(zn, n)
+        n0 = (zs_pp * znp.c0.reshape(1, n).broadcast_to(zs_pp.shape)).sum(-1)
+        n1 = (zs_pp * znp.c1.reshape(1, n).broadcast_to(zs_pp.shape)).sum(-1)
+        return GF.concatenate([c0, n0], axis=0), GF.concatenate([c1, n1],
+                                                                axis=0)
+
+    return jax.jit(f)
+
+
+def _eval_openings_fused(cs, wires, zs_pp, quot, zeta, zeta_next):
+    """-> (cs_eval, wires_eval, zs_pp_eval, quotient_eval, zs_pp_next_eval)
+    as lists of (c0, c1) int pairs; one dispatch + one readback total."""
+    nums = (cs.shape[0], wires.shape[0], zs_pp.shape[0], quot.shape[0])
+    n = cs.shape[-1]
+    c0, c1 = _eval_openings_jit(nums, n)(
+        cs, wires, zs_pp, quot, GF2.const(*zeta), GF2.const(*zeta_next))
+    l0, h0, l1, h1 = (np.asarray(a) for a in
+                      jax.device_get((c0.lo, c0.hi, c1.lo, c1.hi)))
+    a0 = l0.astype(np.uint64) | (h0.astype(np.uint64) << np.uint64(32))
+    a1 = l1.astype(np.uint64) | (h1.astype(np.uint64) << np.uint64(32))
+    pairs = [(int(x), int(y)) for x, y in zip(a0, a1)]
+    out, off = [], 0
+    for k in nums:
+        out.append(pairs[off:off + k])
+        off += k
+    out.append(pairs[off:])               # zs_pp at zeta_next
+    return out[0], out[1], out[2], out[3], out[4]
 
 
 # ---------------------------------------------------------------------------
