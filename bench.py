@@ -557,7 +557,7 @@ def bench_batch_prove():
 
 # (step fn, per-step wall-clock cap in seconds) — most important first.
 STEPS = [
-    (bench_headline, 600),
+    (bench_headline, 1200),
     (bench_fibonacci_prove, 900),
     (bench_recursion_chain, 2400),
     (bench_fri_open, 900),
