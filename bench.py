@@ -237,7 +237,9 @@ def emit(metric, value, unit, baseline=None, estimate=None, **extra):
         _collect(rec)
         print(json.dumps(rec), flush=True)
         return
-    rec = {"metric": metric, "value": round(value, 1), "unit": unit,
+    # 4 significant digits, not 1 decimal place: sub-0.05/s rates (cold
+    # proofs-per-s) must not print as a physically-impossible "0.0"
+    rec = {"metric": metric, "value": float(f"{value:.4g}"), "unit": unit,
            "vs_baseline": round(value / baseline, 3) if baseline else None}
     if estimate:
         rec["vs_estimate"] = round(value / estimate, 3)
@@ -558,13 +560,13 @@ def bench_batch_prove():
 # (step fn, per-step wall-clock cap in seconds) — most important first.
 STEPS = [
     (bench_headline, 1200),
-    (bench_fibonacci_prove, 900),
+    (bench_fibonacci_prove, 1200),   # measured cold: 835 s on a fresh box
     (bench_recursion_chain, 2400),
-    (bench_fri_open, 900),
+    (bench_fri_open, 1500),          # cold commit half alone measured 758 s
     (bench_merkle, 900),
     (bench_merkle_wide, 600),
-    (bench_lde_batch, 420),
-    (bench_ntt_batch, 420),
+    (bench_lde_batch, 600),
+    (bench_ntt_batch, 600),
     (bench_ntt_sweep, 420),
     (bench_lde, 300),
     (bench_batch_prove, 900),

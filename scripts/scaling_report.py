@@ -127,33 +127,50 @@ def main():
 
 
 # ---------------------------------------------------------------------------
-# ICI accounting: collective bytes COUNTED from the lowered HLO (not modeled),
-# fed into the SCALING_MODEL.md ring formula to project v5e efficiency.
+# ICI accounting: collective bytes COUNTED from the traced jaxpr (not
+# modeled), fed into the SCALING_MODEL.md ring formula to project v5e
+# efficiency. The jaxpr is the right layer to count at: shard_map's
+# lax.all_to_all appears there explicitly with PER-DEVICE operand shapes,
+# whereas neither the lowered StableHLO nor this runtime's compiled-HLO text
+# names the collectives at all (verified empty on jax 0.8/XLA:CPU — the old
+# text-scraping counter silently matched a stray line).
 # ---------------------------------------------------------------------------
 
-_COLLECTIVES = ("all_to_all", "all_gather", "collective_permute",
-                "all_reduce", "reduce_scatter")
+_COLLECTIVES = ("all_to_all", "psum", "all_gather", "ppermute",
+                "reduce_scatter", "psum_invariant")
 
 
-def count_collective_bytes(lowered_text: str) -> dict:
-    """Sum operand bytes per collective kind from StableHLO text."""
-    import re
-    out = {}
-    for line in lowered_text.splitlines():
-        for kind in _COLLECTIVES:
-            if f"stablehlo.{kind}" in line or f'"{kind}"' in line:
-                shapes = re.findall(r"tensor<([0-9x]+)x(ui32|i32|u32|f32|"
-                                    r"ui64|i64)>", line)
-                if not shapes:
-                    continue
-                dims, dtype = shapes[0]
-                elems = 1
-                for s in dims.split("x"):
-                    elems *= int(s)
-                width = 8 if "64" in dtype else 4
-                out[kind] = out.get(kind, 0) + elems * width
-                break
-    return out
+def count_collective_bytes(fn, *args) -> dict:
+    """Trace fn(*args) and sum collective-primitive operand bytes per kind,
+    recursing into every sub-jaxpr (shard_map/pjit/scan bodies). Operand
+    avals inside shard_map are per-device block shapes, so the sums are
+    bytes entering the collective per device program execution."""
+    import numpy as _np
+
+    import jax
+    from jax.extend import core as jec
+
+    def subjaxprs(params):
+        for v in params.values():
+            vs = v if isinstance(v, (list, tuple)) else [v]
+            for it in vs:
+                if isinstance(it, jec.ClosedJaxpr):
+                    yield it.jaxpr
+                elif isinstance(it, jec.Jaxpr):
+                    yield it
+
+    def walk(jaxpr, out):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name in _COLLECTIVES:
+                b = sum(int(_np.prod(v.aval.shape)) * v.aval.dtype.itemsize
+                        for v in eqn.invars
+                        if getattr(v.aval, "shape", None) is not None)
+                out[eqn.primitive.name] = out.get(eqn.primitive.name, 0) + b
+            for sub in subjaxprs(eqn.params):
+                walk(sub, out)
+        return out
+
+    return walk(jax.make_jaxpr(fn)(*args).jaxpr, {})
 
 
 def ici_accounting(poly, rate_bits, counts, r1_el_per_s: float = None):
@@ -180,16 +197,15 @@ def ici_accounting(poly, rate_bits, counts, r1_el_per_s: float = None):
         mesh = make_mesh(d, axis="x")
         lg_n2 = max(6, (d - 1).bit_length() + 1)
         try:
-            lowered = jax.jit(
-                lambda p: coset_lde_large(p, mesh, rate_bits, lg_n2=lg_n2)
-            ).lower(poly)
-            text = lowered.as_text()
+            counted = count_collective_bytes(
+                lambda p: coset_lde_large(p, mesh, rate_bits, lg_n2=lg_n2),
+                poly)
         except Exception as e:  # noqa: BLE001
             acct[str(d)] = {"error": str(e)[:120]}
             continue
-        counted = count_collective_bytes(text)
         total_coll = sum(counted.values())
-        per_chip = total_coll / d
+        # jaxpr avals inside shard_map are already per-device block shapes
+        per_chip = total_coll
         t_a2a = per_chip * (d - 1) / d * (d / 4) / (2 * b_link)
         t_local = (n / d) / r1
         eff = t_local / (t_local + t_a2a) if (t_local + t_a2a) else 0.0
